@@ -1,0 +1,137 @@
+"""Differentiable Gaussian projection + EWA splatting (pure JAX).
+
+Capability parity with the msplat CUDA ops invoked at
+gflow/utils/render.py:21-49 (`project_point`, `compute_cov3d`, `ewa_project`),
+but with NO custom backward: keeping this stage in plain JAX lets autodiff
+produce gradients w.r.t. xyz / scale / rotation / intrinsics / **camera pose**
+for free — the reference relies on pose gradients through projection for its
+camera-only stage (gflow/trainer.py:130-137).
+
+All math follows the standard 3DGS/EWA formulation:
+  Sigma3 = R diag(s^2) R^T
+  t      = W x + c                       (camera-space point)
+  J      = d(proj)/d(t)                  (2x3 affine approximation)
+  Sigma2 = J W Sigma3 W^T J^T + 0.3 I    (low-pass dilation)
+  conic  = Sigma2^{-1}  (upper-tri a, b, c)
+  radius = ceil(3 sqrt(lambda_max))
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import quat_wxyz_to_rotmat
+
+NEAR_PLANE = 0.01
+DILATION = 0.3
+TILE = 16
+
+# full-fp32 matmuls: TPU's default bf16 matmul precision costs >0.2 px of
+# projection error, which corrupts both rendering and pose gradients
+_HI = jax.lax.Precision.HIGHEST
+
+
+def compute_cov3d(scale: jax.Array, rotate_wxyz: jax.Array) -> jax.Array:
+    """(N,3) scales + (N,4) wxyz quats -> (N,6) upper-triangular 3D covariance
+    [xx, xy, xz, yy, yz, zz]."""
+    R = quat_wxyz_to_rotmat(rotate_wxyz)  # (N, 3, 3)
+    M = R * scale[:, None, :]  # columns scaled: R @ diag(s)
+    cov = jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)  # (N, 3, 3)
+    return jnp.stack(
+        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
+        axis=-1,
+    )
+
+
+def project_gaussians(
+    xyz: jax.Array,
+    scale: jax.Array,
+    rotate: jax.Array,
+    intr: jax.Array,
+    extr: jax.Array,
+    W: int,
+    H: int,
+):
+    """Full projection pipeline in one differentiable function.
+
+    Returns a dict with:
+      uv      (N, 2) pixel coords (garbage where ~visible)
+      depth   (N, 1) camera z; 0 where culled (msplat convention)
+      conic   (N, 3) inverse 2D covariance, upper-tri (a, b, c)
+      radius  (N,)   float extent (3 sigma) in pixels, 0 where invisible
+      visible (N,)   bool
+    """
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    Rw2c = extr[:3, :3]
+    t = extr[:3, 3]
+    cam = jnp.matmul(xyz, Rw2c.T, precision=_HI) + t  # (N, 3)
+    z = cam[:, 2]
+    visible = z > NEAR_PLANE
+    safe_z = jnp.where(visible, z, 1.0)
+
+    u = fx * cam[:, 0] / safe_z + cx
+    v = fy * cam[:, 1] / safe_z + cy
+    uv = jnp.stack([u, v], axis=-1)
+
+    # --- 3D covariance ---
+    cov6 = compute_cov3d(scale, rotate)  # (N, 6)
+    c_xx, c_xy, c_xz, c_yy, c_yz, c_zz = (cov6[:, i] for i in range(6))
+
+    # --- EWA: clamp camera-space x/y to the (padded) frustum for stability ---
+    lim_x = 1.3 * (0.5 * W / fx)
+    lim_y = 1.3 * (0.5 * H / fy)
+    tx = jnp.clip(cam[:, 0] / safe_z, -lim_x, lim_x) * safe_z
+    ty = jnp.clip(cam[:, 1] / safe_z, -lim_y, lim_y) * safe_z
+
+    inv_z = 1.0 / safe_z
+    inv_z2 = inv_z * inv_z
+    # J rows (2x3): [fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+
+    # A = J @ W, rows a0 = j00*W0 + j02*W2 ; a1 = j11*W1 + j12*W2   (each (N,3))
+    W0, W1, W2 = Rw2c[0], Rw2c[1], Rw2c[2]
+    a0 = j00[:, None] * W0[None, :] + j02[:, None] * W2[None, :]
+    a1 = j11[:, None] * W1[None, :] + j12[:, None] * W2[None, :]
+
+    # Sigma2 = A Sigma3 A^T — expand with the packed symmetric cov
+    def sigma_vec(a):  # Sigma3 @ a, for row vector a (N,3)
+        sx = c_xx * a[:, 0] + c_xy * a[:, 1] + c_xz * a[:, 2]
+        sy = c_xy * a[:, 0] + c_yy * a[:, 1] + c_yz * a[:, 2]
+        sz = c_xz * a[:, 0] + c_yz * a[:, 1] + c_zz * a[:, 2]
+        return jnp.stack([sx, sy, sz], axis=-1)
+
+    s0 = sigma_vec(a0)
+    cov2_a = jnp.sum(a0 * s0, axis=-1) + DILATION
+    cov2_b = jnp.sum(a1 * s0, axis=-1)
+    cov2_c = jnp.sum(a1 * sigma_vec(a1), axis=-1) + DILATION
+
+    det = cov2_a * cov2_c - cov2_b * cov2_b
+    det_ok = det > 1e-12
+    safe_det = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack(
+        [cov2_c / safe_det, -cov2_b / safe_det, cov2_a / safe_det], axis=-1
+    )
+
+    mid = 0.5 * (cov2_a + cov2_c)
+    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam_max))
+
+    # cull: behind near plane, degenerate cov, or fully off-screen
+    on_screen = (
+        (u + radius > 0) & (u - radius < W) & (v + radius > 0) & (v - radius < H)
+    )
+    visible = visible & det_ok & on_screen
+    radius = jnp.where(visible, radius, 0.0)
+    depth = jnp.where(visible, z, 0.0)[:, None]
+    uv = jnp.where(visible[:, None], uv, -9999.0)
+
+    return {
+        "uv": uv,
+        "depth": depth,
+        "conic": conic,
+        "radius": radius,
+        "visible": visible,
+    }

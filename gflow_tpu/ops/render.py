@@ -1,0 +1,189 @@
+"""High-level multi-output render — TPU-native `render_multiple`.
+
+Mirrors the output surface of the reference render wrapper
+(gflow/utils/render.py:6-108): rgb, uv, depth, depth_map, depth_map_color,
+center — with one deliberate improvement: the reference re-runs the full
+alpha_blending kernel once *per requested map*; here all feature maps that
+share the standard conic/opacity (rgb + depth + colormapped depth) are
+composited in a **single fused pass** over concatenated feature channels.
+The "center" visualization (identity conic, opacity 1 — reference:
+render.py:93-106) reuses the same tile lists with overridden per-Gaussian
+inputs, exactly like the CUDA path reuses its sorted ID lists.
+
+Images are returned channels-last (H, W, C) — the natural TPU layout —
+rather than the reference's (C, H, W).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .binning import bin_gaussians
+from .composite import composite_tiles
+from .projection import project_gaussians
+from ..viz.colormap import apply_float_colormap
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    max_per_tile: int = 256
+    max_tiles_per_gaussian: int = 32
+    tile_chunk: int = 64
+    center_scale: float = 10.0  # matches render_multiple's default (render.py:8)
+    backend: str = "xla"  # "xla" | "pallas"
+
+
+DEFAULT_CONFIG = RenderConfig()
+
+
+def render(
+    xyz: jax.Array,
+    scale: jax.Array,
+    rotate: jax.Array,
+    opacity: jax.Array,
+    rgb: jax.Array,
+    intr: jax.Array,
+    extr: jax.Array,
+    bg,
+    W: int,
+    H: int,
+    outputs: Sequence[str] = ("rgb", "uv", "depth", "depth_map", "depth_map_color", "center"),
+    config: RenderConfig = DEFAULT_CONFIG,
+):
+    """All array inputs are *activated* values. Returns a dict of requested
+    outputs: rgb/depth_map/depth_map_color/center are (H, W, C); uv is (N, 2);
+    depth is (N, 1) with 0 == culled."""
+    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    uv, depth, conic, radius = proj["uv"], proj["depth"], proj["conic"], proj["radius"]
+
+    out = {}
+    if "uv" in outputs:
+        out["uv"] = uv
+    if "depth" in outputs:
+        out["depth"] = depth
+
+    need_main = any(k in outputs for k in ("rgb", "depth_map", "depth_map_color"))
+    need_center = "center" in outputs
+    if not (need_main or need_center):
+        return out
+
+    bins = bin_gaussians(
+        uv,
+        depth,
+        radius,
+        W,
+        H,
+        max_per_tile=config.max_per_tile,
+        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+    )
+
+    compose = _get_compositor(config)
+
+    if need_main:
+        feats = []
+        slices = {}
+        cursor = 0
+
+        def add(name, f):
+            nonlocal cursor
+            feats.append(f)
+            slices[name] = (cursor, cursor + f.shape[1])
+            cursor += f.shape[1]
+
+        if "rgb" in outputs:
+            add("rgb", rgb)
+        if "depth_map" in outputs:
+            add("depth_map", depth)
+        if "depth_map_color" in outputs:
+            depth_color = apply_float_colormap(depth, colormap="turbo", non_zero=True)
+            add("depth_map_color", depth_color)
+
+        img = compose(
+            bins.tile_lists, uv, conic, opacity, jnp.concatenate(feats, axis=1),
+            bg, W, H, bins.n_tx, bins.n_ty,
+        )
+        for name, (s, e) in slices.items():
+            out[name] = img[..., s:e]
+
+    if need_center:
+        # identity conic + opacity 1 point-cloud view (reference render.py:93-106)
+        center_conic = jnp.broadcast_to(
+            jnp.asarray([1.0, 0.0, 1.0], jnp.float32), conic.shape
+        )
+        center_op = jnp.where(depth > 0, 1.0, 0.0)
+        out["center"] = compose(
+            bins.tile_lists, uv, center_conic, center_op, rgb,
+            bg, W, H, bins.n_tx, bins.n_ty,
+        )
+
+    return out
+
+
+def render_scene(scene, camera, bg, W, H, outputs, config: RenderConfig = DEFAULT_CONFIG):
+    """Render a GaussianScene with a Camera (activations applied here)."""
+    xyz, scale, rotate, opacity, rgb = scene.activated()
+    return render(
+        xyz, scale, rotate, opacity, rgb, camera.intr, camera.extr, bg, W, H,
+        outputs, config,
+    )
+
+
+def render_traj(
+    xyz, scale, rotate, opacity, rgb, intr, extr, bg, W, H,
+    point_num: int,
+    line_scale: float = 1.0,
+    point_scale: float = 2.0,
+    config: RenderConfig = DEFAULT_CONFIG,
+):
+    """Trajectory line-set rendering: conic overridden to scaled identity,
+    larger for the line body than the head points (reference:
+    gflow/utils/render.py:110-156 — note the reference scales the *first*
+    len-point_num entries by point_scale; we mirror that exactly)."""
+    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    uv, depth, conic, radius = proj["uv"], proj["depth"], proj["conic"], proj["radius"]
+    bins = bin_gaussians(
+        uv, depth, radius, W, H,
+        max_per_tile=config.max_per_tile,
+        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+    )
+    n = xyz.shape[0]
+    ident = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+    scale_per_pt = jnp.where(
+        jnp.arange(n) < n - point_num, point_scale, line_scale
+    )[:, None]
+    traj_conic = jnp.broadcast_to(ident, conic.shape) * scale_per_pt
+    compose = _get_compositor(config)
+    return compose(
+        bins.tile_lists, uv, traj_conic, opacity, rgb, bg, W, H, bins.n_tx, bins.n_ty
+    )
+
+
+def _get_compositor(config: RenderConfig):
+    if config.backend == "pallas":
+        from .pallas_raster import composite_tiles_pallas
+
+        def compose(tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty):
+            return composite_tiles_pallas(
+                tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty
+            )
+
+        return compose
+
+    def compose(tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty):
+        return composite_tiles(
+            tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty,
+            tile_chunk=config.tile_chunk,
+        )
+
+    return compose
+
+
+def render2img(rendered: jax.Array):
+    """(H, W, C) float -> uint8 numpy image (reference: render.py:158-165)."""
+    import numpy as np
+
+    arr = np.asarray(jnp.clip(rendered, 0.0, 1.0))
+    return (arr * 255).astype(np.uint8)

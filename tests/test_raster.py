@@ -1,0 +1,176 @@
+"""Rasterizer correctness: dense reference vs tiled path, gradients, semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gflow_tpu.core import camera as cam
+from gflow_tpu.ops.projection import project_gaussians
+from gflow_tpu.ops.reference import composite_dense
+from gflow_tpu.ops.binning import bin_gaussians
+from gflow_tpu.ops.composite import composite_tiles
+from gflow_tpu.ops.render import render
+
+
+def make_scene(n=64, seed=0, W=64, H=48, spread=1.0):
+    rng = np.random.default_rng(seed)
+    xyz = np.concatenate(
+        [
+            rng.uniform(-spread, spread, size=(n, 2)),
+            rng.uniform(2.0, 6.0, size=(n, 1)),
+        ],
+        axis=1,
+    )
+    scale = rng.uniform(0.02, 0.15, size=(n, 3))
+    rotate = rng.normal(size=(n, 4))
+    rotate /= np.linalg.norm(rotate, axis=1, keepdims=True)
+    opacity = rng.uniform(0.3, 0.95, size=(n, 1))
+    rgb = rng.uniform(0.05, 0.95, size=(n, 3))
+    intr = cam.default_intrinsics(W, H)
+    extr = jnp.asarray(
+        np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1), jnp.float32
+    )
+    to = lambda x: jnp.asarray(x, jnp.float32)
+    return to(xyz), to(scale), to(rotate), to(opacity), to(rgb), intr, extr
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_tiled_matches_dense(seed):
+    W, H = 64, 48
+    xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(seed=seed, W=W, H=H)
+    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    bg = 0.0
+
+    img_dense = composite_dense(
+        proj["uv"], proj["conic"], opacity, rgb, proj["depth"], proj["radius"],
+        bg, W, H, tile_consistent=True,
+    )
+    bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                         max_per_tile=128, max_tiles_per_gaussian=64)
+    img_tiled = composite_tiles(
+        bins.tile_lists, proj["uv"], proj["conic"], opacity, rgb,
+        bg, W, H, bins.n_tx, bins.n_ty, tile_chunk=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_tiled), np.asarray(img_dense), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_tile_counts_cover_all_entries():
+    W, H = 64, 48
+    xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(seed=2, W=W, H=H)
+    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                         max_per_tile=128, max_tiles_per_gaussian=64)
+    lists = np.asarray(bins.tile_lists)
+    counts = np.asarray(bins.tile_counts)
+    # every tile's number of non-empty entries equals its count (K not exceeded)
+    n_entries = (lists >= 0).sum(axis=1)
+    np.testing.assert_array_equal(n_entries, np.minimum(counts, lists.shape[1]))
+    # entries in each tile must be depth-sorted
+    depth = np.asarray(proj["depth"])[:, 0]
+    for t in range(lists.shape[0]):
+        ids = lists[t][lists[t] >= 0]
+        d = depth[ids]
+        assert np.all(np.diff(d) >= -1e-6)
+
+
+def test_background_fill():
+    """No gaussians visible -> pure background."""
+    W, H = 32, 32
+    xyz = jnp.asarray([[0.0, 0.0, -5.0]], jnp.float32)  # behind camera
+    scale = jnp.full((1, 3), 0.1)
+    rotate = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    opacity = jnp.ones((1, 1))
+    rgb = jnp.ones((1, 3))
+    intr = cam.default_intrinsics(W, H)
+    extr = jnp.asarray(np.concatenate([np.eye(3), np.zeros((3, 1))], 1), jnp.float32)
+    out = render(xyz, scale, rotate, opacity, rgb, intr, extr, 0.33, W, H, ("rgb",))
+    np.testing.assert_allclose(np.asarray(out["rgb"]), 0.33, atol=1e-6)
+    # msplat convention: culled -> depth == 0
+    out2 = render(xyz, scale, rotate, opacity, rgb, intr, extr, 0.0, W, H, ("depth",))
+    assert float(out2["depth"][0, 0]) == 0.0
+
+
+def test_multi_output_render():
+    W, H = 64, 48
+    xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(seed=3, W=W, H=H)
+    out = render(
+        xyz, scale, rotate, opacity, rgb, intr, extr, 0.0, W, H,
+        ("rgb", "uv", "depth", "depth_map", "depth_map_color", "center"),
+    )
+    assert out["rgb"].shape == (H, W, 3)
+    assert out["depth_map"].shape == (H, W, 1)
+    assert out["depth_map_color"].shape == (H, W, 3)
+    assert out["center"].shape == (H, W, 3)
+    assert out["uv"].shape == (xyz.shape[0], 2)
+    assert out["depth"].shape == (xyz.shape[0], 1)
+    # depth map should be positive where gaussians cover
+    assert float(jnp.max(out["depth_map"])) > 0.5
+
+
+def test_tiled_gradients_match_dense():
+    """Autodiff through the tiled path == autodiff through the dense oracle."""
+    W, H = 32, 32
+    xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(
+        n=24, seed=4, W=W, H=H, spread=0.6
+    )
+    target = jnp.zeros((H, W, 3)) + 0.25
+
+    def loss_dense(xyz, scale, opacity, rgb, pose):
+        extr_ = cam.pose_to_extr(pose)
+        proj = project_gaussians(xyz, scale, rotate, intr, extr_, W, H)
+        img = composite_dense(
+            proj["uv"], proj["conic"], opacity, rgb, proj["depth"],
+            proj["radius"], 0.0, W, H,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    def loss_tiled(xyz, scale, opacity, rgb, pose):
+        extr_ = cam.pose_to_extr(pose)
+        proj = project_gaussians(xyz, scale, rotate, intr, extr_, W, H)
+        bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                             max_per_tile=64, max_tiles_per_gaussian=64)
+        img = composite_tiles(
+            bins.tile_lists, proj["uv"], proj["conic"], opacity, rgb,
+            0.0, W, H, bins.n_tx, bins.n_ty, tile_chunk=2,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    pose = jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0], jnp.float32)
+    args = (xyz, scale, opacity, rgb, pose)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4))(*args)
+    g_tiled = jax.grad(loss_tiled, argnums=(0, 1, 2, 3, 4))(*args)
+    for gd, gt in zip(g_dense, g_tiled):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gd), atol=1e-5, rtol=1e-3)
+    # pose gradient must be live (camera optimization depends on it)
+    assert np.abs(np.asarray(g_tiled[4])).max() > 0
+
+
+def test_finite_difference_gradcheck():
+    """Spot-check autodiff against central finite differences."""
+    W, H = 24, 24
+    xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(
+        n=8, seed=5, W=W, H=H, spread=0.5
+    )
+
+    def loss(opacity):
+        proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+        bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                             max_per_tile=32, max_tiles_per_gaussian=64)
+        img = composite_tiles(
+            bins.tile_lists, proj["uv"], proj["conic"], opacity, rgb,
+            0.0, W, H, bins.n_tx, bins.n_ty, tile_chunk=1,
+        )
+        return jnp.sum(img**2)
+
+    g = np.asarray(jax.grad(loss)(opacity))
+    eps = 1e-3
+    op = np.asarray(opacity)
+    for i in [0, 3, 7]:
+        e = np.zeros_like(op)
+        e[i, 0] = eps
+        fd = (float(loss(jnp.asarray(op + e))) - float(loss(jnp.asarray(op - e)))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(g[i, 0], fd, atol=2e-2, rtol=2e-2)
