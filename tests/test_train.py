@@ -1,0 +1,165 @@
+"""Optimization-stage tests: single-frame fit convergence, densify,
+camera-only gating, flow propagation."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gflow_tpu.core.camera import default_intrinsics, pose_to_extr, pix2world
+from gflow_tpu.opt import (
+    FrameState, LossWeights, StageConfig, StageDynamics, Targets,
+    init_frame_state, train_stage,
+)
+from gflow_tpu.opt.initialize import init_params_from_image
+from gflow_tpu.opt.train import propagate_moving_points
+from gflow_tpu.ops.render import RenderConfig
+
+W, H = 48, 32
+RCFG = RenderConfig(max_per_tile=128, max_tiles_per_gaussian=32, tile_chunk=6)
+
+
+def synthetic_frame(seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(0, 1, H), np.linspace(0, 1, W), indexing="ij")
+    img = np.stack([xx, yy, (xx + yy) / 2], -1).astype(np.float32)
+    img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+    img = np.clip(img, 0, 1)
+    depth = (1.5 + xx).astype(np.float32)
+    return img, depth
+
+
+def make_targets(img, depth, flow=None, move=None, occ=None):
+    return Targets(
+        image=jnp.asarray(img),
+        depth=jnp.asarray(depth)[..., None],
+        flow=jnp.asarray(flow) if flow is not None else jnp.zeros((H, W, 2)),
+        move_mask=jnp.asarray(move) if move is not None else jnp.zeros((H, W), bool),
+        occ_mask=jnp.asarray(occ) if occ is not None else jnp.zeros((H, W), bool),
+    )
+
+
+def fit_stage(params, state, targets, cfg, dyn, seed=0):
+    fn = jax.jit(
+        functools.partial(train_stage, cfg=cfg, dyn=dyn),
+        static_argnames=(),
+    )
+    return fn(params, state, targets, default_intrinsics(W, H),
+              jax.random.PRNGKey(seed))
+
+
+def test_single_frame_fit_converges():
+    img, depth = synthetic_frame()
+    intr = np.asarray(default_intrinsics(W, H))
+    extr = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
+    params, n = init_params_from_image(
+        img, depth, 400, 512, intr, extr, rng=np.random.default_rng(0)
+    )
+    state = init_frame_state(512)._replace(n_alive=jnp.asarray(n, jnp.int32))
+    targets = make_targets(img, depth)
+    cfg = StageConfig(W=W, H=H, iterations=120, bg=0.0, render=RCFG)
+    dyn = StageDynamics.make(
+        lr=1e-2, lr_camera=0.0,
+        weights=LossWeights.make(rgb=1.0, depth=0.1, var=50.0),
+        num_points=400,
+    )
+    params2, state2, info = fit_stage(params, state, targets, cfg, dyn)
+    final_rgb_loss = float(info["metrics"]["rgb"])
+    # rgb loss = mse + (1-ssim); must drop well below the random-init level
+    assert final_rgb_loss < 0.25, final_rgb_loss
+    mse = float(jnp.mean((info["rgb"] - targets.image) ** 2))
+    psnr = -10 * np.log10(mse)
+    assert psnr > 20, psnr
+    # frame state finalized
+    assert int(state2.last_num) == int(state2.n_alive)
+    assert int(state2.n_alive) >= n
+
+
+def test_densify_grows_points():
+    img, depth = synthetic_frame(1)
+    intr = np.asarray(default_intrinsics(W, H))
+    extr = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
+    params, n = init_params_from_image(
+        img, depth, 200, 1024, intr, extr, rng=np.random.default_rng(1)
+    )
+    state = init_frame_state(1024)._replace(n_alive=jnp.asarray(n, jnp.int32))
+    targets = make_targets(img, depth)
+    cfg = StageConfig(
+        W=W, H=H, iterations=30, densify_interval=10, densify_times=2,
+        max_densify=256, render=RCFG,
+    )
+    dyn = StageDynamics.make(
+        lr=1e-2, num_points=200, densify_err_thre=0.0, densify_err_percent=1.0
+    )
+    _, state2, info = fit_stage(params, state, targets, cfg, dyn)
+    assert int(info["n_alive"]) > n  # error-driven densify added points
+
+
+def test_camera_only_freezes_attributes():
+    img, depth = synthetic_frame(2)
+    intr = np.asarray(default_intrinsics(W, H))
+    extr = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
+    params, n = init_params_from_image(
+        img, depth, 300, 512, intr, extr, rng=np.random.default_rng(2)
+    )
+    C = 512
+    # fake a previous frame so still/flow machinery engages
+    state = init_frame_state(C)._replace(
+        n_alive=jnp.asarray(n, jnp.int32),
+        last_num=jnp.asarray(n, jnp.int32),
+        last_xyz=params.xyz,
+        last_uv=jnp.zeros((C, 2)) + jnp.asarray([W / 2, H / 2]),
+        still_mask=jnp.ones((C,), bool),
+    )
+    targets = make_targets(img, depth)
+    cfg = StageConfig(W=W, H=H, iterations=15, camera_only=True, render=RCFG)
+    dyn = StageDynamics.make(
+        lr=1e-2, lr_camera=1e-3, num_points=300,
+        weights=LossWeights.make(rgb=1.0, depth=0.1),
+    )
+    params2, state2, info = fit_stage(params, state, targets, cfg, dyn)
+    # attributes frozen, pose moved
+    np.testing.assert_array_equal(np.asarray(params2.xyz), np.asarray(params.xyz))
+    np.testing.assert_array_equal(np.asarray(params2.rgb), np.asarray(params.rgb))
+    assert np.abs(np.asarray(params2.pose - params.pose)).max() > 0
+    # depth_ab also updates (its own group at lr)
+    assert np.abs(np.asarray(params2.depth_ab - params.depth_ab)).max() > 0
+
+
+def test_flow_propagation_moves_moving_points():
+    C = 8
+    intr = default_intrinsics(W, H)
+    pose = jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32)
+    extr = pose_to_extr(pose)
+    params_xyz = jnp.zeros((C, 3)).at[:, 2].set(2.0)
+    params = __import__("gflow_tpu.opt.state", fromlist=["Params"]).Params(
+        xyz=params_xyz,
+        scale=jnp.full((C, 3), 0.01),
+        rotate=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (C, 1)),
+        opacity=jnp.zeros((C, 1)),
+        rgb=jnp.zeros((C, 3)),
+        pose=pose,
+        depth_ab=jnp.asarray([1.0, 0.0]),
+    )
+    still = jnp.asarray([True, False] * 4)
+    last_uv = jnp.tile(jnp.asarray([[W / 2.0, H / 2.0]]), (C, 1))
+    state = init_frame_state(C)._replace(
+        n_alive=jnp.asarray(C, jnp.int32),
+        last_num=jnp.asarray(C, jnp.int32),
+        still_mask=still,
+        last_uv=last_uv,
+    )
+    flow = np.full((H, W, 2), 3.0, np.float32)  # +3 px shift both axes
+    depth_map = np.full((H, W), 2.0, np.float32)
+    targets = make_targets(np.zeros((H, W, 3), np.float32), depth_map, flow=flow)
+
+    out = propagate_moving_points(params, state, targets, intr, W, H)
+    moved = np.asarray(out.xyz)
+    expect = np.asarray(
+        pix2world(last_uv + 3.0, jnp.full((C, 1), 2.0), intr, extr)
+    )
+    # moving points relocated to the flow-displaced unprojection
+    np.testing.assert_allclose(moved[~np.asarray(still)], expect[~np.asarray(still)], atol=1e-4)
+    # still points untouched
+    np.testing.assert_array_equal(moved[np.asarray(still)], np.asarray(params_xyz)[np.asarray(still)])
