@@ -1,0 +1,7 @@
+"""CLI entry: python -m gflow_tpu.cli.fit_video --sequence-path ... (mirrors
+the reference's tyro CLI surface, gflow/fit_video.py:409-410)."""
+from ..pipeline.fit_video import main
+from ..utils.cli import run_cli
+
+if __name__ == "__main__":
+    run_cli(main, prog="fit_video")

@@ -51,6 +51,8 @@ class StageConfig:
     max_densify: int = 8192
     bg: float = 0.0
     render: RenderConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+    snapshot_every: int = 0   # >0: collect rgb/depth/center every N iters
+                              # (reference snapshots at 10, trainer.py:573-582)
 
 
 class StageDynamics(NamedTuple):
@@ -303,10 +305,42 @@ def train_stage(params: Params, state: FrameState, targets, intr,
 
         return params, opt_state, n_alive, key, aux
 
-    params, opt_state, n_alive, key, aux = jax.lax.fori_loop(
-        0, cfg.iterations, one_iter,
-        (params, opt_state, n_alive0, key, dummy_aux),
-    )
+    init_carry = (params, opt_state, n_alive0, key, dummy_aux)
+    snapshots = None
+    if cfg.snapshot_every <= 0:
+        params, opt_state, n_alive, key, aux = jax.lax.fori_loop(
+            0, cfg.iterations, one_iter, init_carry
+        )
+    else:
+        every = cfg.snapshot_every
+        n_chunks = -(-cfg.iterations // every)
+
+        def chunk(carry, c):
+            start = c * every
+            end = jnp.minimum(cfg.iterations, start + every)
+            carry = jax.lax.fori_loop(start, end, one_iter, carry)
+            p, _, n_alive_c, _, aux_c = carry
+            # diagnostic "center" view: identity conic, opacity 1
+            # (reference render.py:93-106)
+            from ..ops.render import render as _render
+
+            extr = pose_to_extr(p.pose)
+            scale, rotate, opacity, rgb = _activate(p, n_alive_c)
+            center = _render(
+                p.xyz, scale, rotate, opacity, rgb, intr, extr, cfg.bg,
+                cfg.W, cfg.H, ("center",), cfg.render,
+            )["center"]
+            snap = {
+                "rgb": aux_c["rgb"],
+                "depth_map": aux_c["depth_map"],
+                "center": center,
+            }
+            return carry, snap
+
+        carry, snapshots = jax.lax.scan(
+            chunk, init_carry, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        params, opt_state, n_alive, key, aux = carry
 
     if not cfg.camera_only:
         state = finalize_stage(
@@ -324,4 +358,6 @@ def train_stage(params: Params, state: FrameState, targets, intr,
         "depth": aux["depth"],
         "n_alive": n_alive,
     }
+    if snapshots is not None:
+        info["snapshots"] = snapshots
     return params, state, info

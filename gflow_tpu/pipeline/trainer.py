@@ -1,0 +1,603 @@
+"""GFlowTrainer — the user-facing scene/optimization driver.
+
+Capability parity with the reference's SimpleGaussian class
+(gflow/trainer.py:17-955): same lifecycle (init from image -> per-frame
+train stages -> post-stage still/move bookkeeping -> checkpoints), same
+checkpoint payload, same log-directory layout (logs/<timestamp> +
+"0_latest" link, trainer.py:89-112), same train() output surface.
+
+The device-side work (rendering, losses, Adam, densification) lives in
+gflow_tpu.opt.train_stage as one compiled loop; this class handles host-side
+orchestration: IO, the concave-hull move segmentation, trajectory line sets,
+and checkpointing.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from datetime import datetime
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import (
+    default_intrinsics,
+    extr_to_pose,
+    pose_to_extr,
+)
+from ..core.scene import activate_inv
+from ..opt import (
+    FrameState,
+    LossWeights,
+    Params,
+    StageConfig,
+    StageDynamics,
+    Targets,
+    init_frame_state,
+    train_stage,
+)
+from ..opt.initialize import init_params_from_image
+from ..ops.render import RenderConfig, DEFAULT_CONFIG, render, render2img, render_traj
+from ..ops.projection import project_gaussians
+from ..utils.hull import FastConcaveHull2D
+from ..viz.colormap import apply_float_colormap, print_color
+
+BACKGROUNDS = {"black": 0.0, "white": 1.0, "cyan": 0.33}  # "cyan" is grey 0.33
+                                                          # (trainer.py:33-34)
+
+
+def _erode(mask_u8: np.ndarray, size: int = 20) -> np.ndarray:
+    from scipy.ndimage import binary_erosion
+
+    er = binary_erosion(mask_u8 > 0, structure=np.ones((size, size), bool))
+    return (er * 255).astype(np.uint8)
+
+
+class GFlowTrainer:
+    def __init__(
+        self,
+        gt_image: np.ndarray,          # (H, W, 3) float [0, 1]
+        gt_depth: np.ndarray | None = None,   # (H, W)
+        gt_flow: np.ndarray | None = None,
+        num_points: int = 100000,
+        background: str = "black",
+        sequence_path=None,
+        logs_suffix: str = "_logs",
+        common_logs: bool = True,
+        capacity: int | None = None,
+        render_config: RenderConfig = DEFAULT_CONFIG,
+        seed: int = 0,
+        make_logs: bool = True,
+    ):
+        self.gt_image = np.asarray(gt_image, np.float32)
+        self.gt_depth = None if gt_depth is None else np.asarray(gt_depth, np.float32)
+        self.gt_flow = None if gt_flow is None else np.asarray(gt_flow, np.float32)
+        self.num_points = int(num_points)
+        self.H, self.W = self.gt_image.shape[:2]
+        self.bg = BACKGROUNDS.get(background, 0.0)
+        self.render_config = render_config
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        if capacity is None:
+            capacity = max(1024, 1 << int(np.ceil(np.log2(self.num_points * 2))))
+        self.capacity = capacity
+
+        self.intr = default_intrinsics(self.W, self.H)
+
+        # random init (replaced by init_gaussians_from_image on the real path;
+        # reference does the same: trainer.py:79-86)
+        C = capacity
+        self.params = Params(
+            xyz=jnp.asarray(self.rng.random((C, 3), np.float32) * 2 - 1),
+            scale=jnp.asarray(self.rng.random((C, 3), np.float32)),
+            rotate=jnp.asarray(_unit(self.rng.random((C, 4)).astype(np.float32))),
+            opacity=jnp.full((C, 1), float(activate_inv("opacity", jnp.float32(0.99)))),
+            rgb=jnp.asarray(self.rng.random((C, 3), np.float32)),
+            pose=jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32),
+            depth_ab=jnp.asarray([1.0, 0.0], jnp.float32),
+        )
+        self.state = init_frame_state(capacity)._replace(
+            n_alive=jnp.asarray(self.num_points if self.num_points <= C else C,
+                                jnp.int32)
+        )
+        self.move_seg: np.ndarray | None = None
+        self.move_seg_erode: np.ndarray | None = None
+        self.propagate_seg: np.ndarray | None = None
+        self.mask_prompt_pts: np.ndarray | None = None
+        self._traj = None
+
+        # log directory + "0_latest" link (trainer.py:89-112)
+        self.dir = None
+        if make_logs:
+            now = datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+            if common_logs:
+                logs_path = logs_suffix if logs_suffix else "logs"
+            else:
+                logs_path = f"{sequence_path}_{logs_suffix}" if logs_suffix else f"{sequence_path}_logs"
+            log_now = os.path.join(logs_path, now)
+            os.makedirs(log_now, exist_ok=True)
+            latest = os.path.join(logs_path, "0_latest")
+            os.makedirs(latest, exist_ok=True)
+            for e in Path(latest).iterdir():
+                if e.is_symlink() or e.is_file():
+                    e.unlink()
+            os.symlink(os.path.abspath(log_now), os.path.join(latest, now))
+            self.dir = log_now
+
+    # ------------------------------------------------------------------
+    # camera
+    # ------------------------------------------------------------------
+
+    def get_extr(self) -> jax.Array:
+        return pose_to_extr(self.params.pose)
+
+    def load_camera(self, focal=None, pp=None, extr=None, scale=None, show=False):
+        """(reference: trainer.py:164-183)"""
+        if focal is not None:
+            self.intr = self.intr.at[:2].set(jnp.asarray([focal, focal]))
+        if pp is not None:
+            self.intr = self.intr.at[2:].set(jnp.asarray(pp, jnp.float32))
+        if extr is not None:
+            extr = np.asarray(extr, np.float32)
+            t = extr[:3, 3] * (scale if scale is not None else 1.0)
+            pose = np.concatenate(
+                [np.asarray(extr_to_pose(jnp.asarray(extr)))[:4], t]
+            )
+            self.params = self.params._replace(pose=jnp.asarray(pose, jnp.float32))
+        if show:
+            print_color(f"[camera] intr: {np.asarray(self.intr)}")
+            print_color(f"[camera] extr:\n{np.asarray(self.get_extr())}")
+
+    # ------------------------------------------------------------------
+    # init / gt setters
+    # ------------------------------------------------------------------
+
+    def set_gt_image(self, img):
+        self.gt_image = np.asarray(img, np.float32)
+
+    def set_gt_depth(self, d):
+        self.gt_depth = np.asarray(d, np.float32).reshape(self.H, self.W)
+
+    def set_gt_flow(self, f):
+        self.gt_flow = np.asarray(f, np.float32)
+
+    def init_gaussians_from_image(self, gt_image=None, gt_depth=None,
+                                  num_points=None, mask=None, drop_to=None):
+        """(reference: trainer.py:206-238)"""
+        img = self.gt_image if gt_image is None else np.asarray(gt_image, np.float32)
+        depth = self.gt_depth if gt_depth is None else np.asarray(gt_depth, np.float32)
+        depth = depth.reshape(self.H, self.W)
+        self.gt_depth = depth
+        n_pts = num_points or self.num_points
+        new_params, n = init_params_from_image(
+            img, depth, n_pts, self.capacity, np.asarray(self.intr),
+            np.asarray(self.get_extr()), mask=mask, drop_to=drop_to,
+            rng=self.rng,
+        )
+        self.params = new_params._replace(pose=self.params.pose,
+                                          depth_ab=self.params.depth_ab)
+        self.state = self.state._replace(n_alive=jnp.asarray(n, jnp.int32))
+        xyz = np.asarray(self.params.xyz[:n])
+        print_color(
+            f"[init] n={n} x range ({xyz[:,0].min():.3f},{xyz[:,0].max():.3f}) "
+            f"y ({xyz[:,1].min():.3f},{xyz[:,1].max():.3f}) "
+            f"z ({xyz[:,2].min():.3f},{xyz[:,2].max():.3f})"
+        )
+
+    def current_pts_num(self) -> int:
+        return int(self.state.n_alive)
+
+    def get_attribute(self, name: str) -> jax.Array:
+        from ..core.scene import activate
+
+        raw = getattr(self.params, name)
+        if name == "opacity":
+            alive = (jnp.arange(self.capacity) < self.state.n_alive)[:, None]
+            return activate(name, raw) * alive
+        return activate(name, raw)
+
+    # ------------------------------------------------------------------
+    # train
+    # ------------------------------------------------------------------
+
+    def _targets(self, move_mask=None, occ_mask=None) -> Targets:
+        H, W = self.H, self.W
+        flow = self.gt_flow if self.gt_flow is not None else np.zeros((H, W, 2), np.float32)
+        depth = self.gt_depth if self.gt_depth is not None else np.ones((H, W), np.float32)
+        mm = np.zeros((H, W), bool) if move_mask is None else np.asarray(move_mask) > 0
+        om = np.zeros((H, W), bool) if occ_mask is None else np.asarray(occ_mask) > 0
+        return Targets(
+            image=jnp.asarray(self.gt_image),
+            depth=jnp.asarray(depth)[..., None],
+            flow=jnp.asarray(flow[..., :2]),
+            move_mask=jnp.asarray(mm),
+            occ_mask=jnp.asarray(om),
+        )
+
+    @functools.lru_cache(maxsize=16)
+    def _stage_fn(self, cfg: StageConfig):
+        return jax.jit(functools.partial(train_stage, cfg=cfg))
+
+    def train(
+        self,
+        iterations=500,
+        lr=1e-2,
+        lr_camera=0.0,
+        lambda_rgb=1.0,
+        lambda_depth=0.0,
+        lambda_flow=0.0,
+        lambda_var=0.0,
+        lambda_still=0.0,
+        lambda_scale=0.0,
+        save_imgs=False,
+        save_videos=False,
+        save_ckpt=False,
+        move_mask=None,
+        ckpt_name="ckpt",
+        densify_interval=0,
+        densify_times=1,
+        mask=None,
+        camera_only=False,
+        densify_occ_percent=0.1,
+        densify_err_thre=1e-2,
+        densify_err_percent=0.2,
+        max_densify=None,
+    ):
+        """One optimization stage (reference: trainer.py:332-711). Returns a
+        dict: frames/frames_center/frames_depth (training snapshots, empty
+        unless save_videos), still/move renders, move_seg."""
+        has_last = int(self.state.last_num) > 0
+        cfg = StageConfig(
+            W=self.W,
+            H=self.H,
+            iterations=int(iterations),
+            camera_only=bool(camera_only),
+            propagate=bool(has_last and not camera_only),
+            densify_interval=int(densify_interval or 0),
+            densify_times=int(densify_times),
+            densify_occ=bool(has_last and not camera_only and mask is not None),
+            max_densify=int(max_densify or min(self.capacity, 16384)),
+            bg=self.bg,
+            render=self.render_config,
+            snapshot_every=10 if save_videos else 0,
+        )
+        dyn = StageDynamics.make(
+            lr=lr, lr_camera=lr_camera,
+            weights=LossWeights.make(
+                rgb=lambda_rgb, depth=lambda_depth, var=lambda_var,
+                scale=lambda_scale, still=lambda_still, flow=lambda_flow,
+            ),
+            num_points=self.num_points,
+            densify_occ_percent=densify_occ_percent,
+            densify_err_thre=densify_err_thre,
+            densify_err_percent=densify_err_percent,
+        )
+        targets = self._targets(move_mask=move_mask, occ_mask=mask)
+        self.key, sub = jax.random.split(self.key)
+        fn = self._stage_fn(cfg)
+        self.params, self.state, info = fn(
+            self.params, self.state, targets, self.intr, sub, dyn=dyn
+        )
+        self._last_info = info
+
+        out = {
+            "frames": [],
+            "frames_center": [],
+            "frames_depth": [],
+            "still_rgb": None,
+            "still_center": None,
+            "move_rgb": None,
+            "move_center": None,
+            "metrics": {k: float(v) for k, v in info["metrics"].items()},
+        }
+        if "snapshots" in info:
+            snaps = info["snapshots"]
+            out["frames"] = [render2img(f) for f in snaps["rgb"]]
+            out["frames_center"] = [render2img(f) for f in snaps["center"]]
+            out["frames_depth"] = [
+                render2img(
+                    apply_float_colormap(d, colormap="turbo", non_zero=True)[..., 0, :]
+                )
+                for d in snaps["depth_map"]
+            ]
+
+        # ---- post-update host work: move segmentation via concave hull
+        # (trainer.py:604-609) ----
+        if not camera_only:
+            uv = np.asarray(info["uv"])
+            n = int(info["n_alive"])
+            still = np.asarray(self.state.still_mask)
+            within = (
+                (uv[:, 0] > 0) & (uv[:, 0] < self.W - 1)
+                & (uv[:, 1] > 0) & (uv[:, 1] < self.H - 1)
+            )
+            within[n:] = False
+            moving = within & ~still
+            ratio = still[:n].sum() / max(n, 1)
+            print_color(f"\t[still] mask ratio is {ratio:.4f}")
+            if moving.sum() > 5:
+                hull = FastConcaveHull2D(uv[moving])
+                self.move_seg = (hull.mask(self.W, self.H) * 255).astype(np.uint8)
+                self.move_seg_erode = _erode(self.move_seg, 20)
+            if self.mask_prompt_pts is not None:
+                sel = np.zeros(len(uv), bool)
+                m = self.mask_prompt_pts
+                sel[: len(m)] = m
+                sel &= within
+                if sel.sum() > 4:
+                    hull = FastConcaveHull2D(uv[sel])
+                    self.propagate_seg = (hull.mask(self.W, self.H) * 255).astype(np.uint8)
+
+        # ---- diagnostic renders + still/move decomposition (trainer.py:627-697)
+        last_rgb = render2img(info["rgb"])
+        if save_imgs or True:
+            out["last_rgb"] = last_rgb
+        if has_last or not camera_only:
+            pass
+        if save_imgs and self.dir:
+            self._save_stage_images(info, ckpt_name, out)
+        if save_videos and self.dir and out["frames"]:
+            from ..viz.video import save_video
+
+            for nm, fr in [("training_rgb", out["frames"]),
+                           ("training_center", out["frames_center"]),
+                           ("training_depth", out["frames_depth"])]:
+                save_video(os.path.join(self.dir, f"{nm}.mp4"), fr, 30)
+        if save_ckpt:
+            self.save_checkpoint(ckpt_name=ckpt_name)
+
+        out["move_seg"] = self.move_seg
+        if int(self.state.last_num) > 0:
+            s = self._render_subset(still=True)
+            m = self._render_subset(still=False)
+            out["still_rgb"], out["still_center"] = s
+            out["move_rgb"], out["move_center"] = m
+        return out
+
+    # ------------------------------------------------------------------
+    # rendering helpers
+    # ------------------------------------------------------------------
+
+    def _activated(self):
+        from ..core.scene import activate
+
+        alive = (jnp.arange(self.capacity) < self.state.n_alive)[:, None]
+        return (
+            self.params.xyz,
+            jnp.abs(self.params.scale),
+            activate("rotate", self.params.rotate),
+            activate("opacity", self.params.opacity) * alive,
+            activate("rgb", self.params.rgb),
+        )
+
+    def render_views(self, outputs=("rgb", "center", "depth_map_color")):
+        xyz, scale, rotate, opacity, rgb = self._activated()
+        return render(
+            xyz, scale, rotate, opacity, rgb, self.intr, self.get_extr(),
+            self.bg, self.W, self.H, outputs, self.render_config,
+        )
+
+    def _render_subset(self, still: bool):
+        """Render only still or only moving points (opacity-masked; identical
+        compositing result to subsetting — see opt/train.py notes)."""
+        xyz, scale, rotate, opacity, rgb = self._activated()
+        n_prev = int(self.state.last_num)
+        sel = np.zeros(self.capacity, bool)
+        sm = np.asarray(self.state.still_mask)
+        sel[:n_prev] = sm[:n_prev] if still else ~sm[:n_prev]
+        opacity = opacity * jnp.asarray(sel)[:, None]
+        outs = render(
+            xyz, scale, rotate, opacity, rgb, self.intr, self.get_extr(),
+            self.bg, self.W, self.H, ("rgb", "center"), self.render_config,
+        )
+        return render2img(outs["rgb"]), render2img(outs["center"])
+
+    def _save_stage_images(self, info, ckpt_name, out):
+        import imageio.v2 as imageio
+
+        img_dir = os.path.join(self.dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        views = self.render_views(("rgb", "center", "depth_map_color"))
+        imageio.imwrite(os.path.join(img_dir, f"img_{ckpt_name}.png"),
+                        render2img(views["rgb"]))
+        imageio.imwrite(os.path.join(img_dir, f"img_center_{ckpt_name}.png"),
+                        render2img(views["center"]))
+        imageio.imwrite(os.path.join(img_dir, f"img_depth_{ckpt_name}.png"),
+                        render2img(views["depth_map_color"]))
+        if int(self.state.last_num) > 0:
+            srgb, scen = self._render_subset(still=True)
+            mrgb, mcen = self._render_subset(still=False)
+            imageio.imwrite(os.path.join(img_dir, f"img_still_{ckpt_name}.png"), srgb)
+            imageio.imwrite(os.path.join(img_dir, f"img_still_center_{ckpt_name}.png"), scen)
+            imageio.imwrite(os.path.join(img_dir, f"img_move_{ckpt_name}.png"), mrgb)
+            imageio.imwrite(os.path.join(img_dir, f"img_move_center_{ckpt_name}.png"), mcen)
+        seg_dir = os.path.join(self.dir, "images_seg")
+        if self.move_seg is not None:
+            os.makedirs(seg_dir, exist_ok=True)
+            imageio.imwrite(os.path.join(seg_dir, f"move_mask_{ckpt_name}.png"),
+                            self.move_seg)
+        if self.move_seg_erode is not None:
+            os.makedirs(seg_dir, exist_ok=True)
+            imageio.imwrite(os.path.join(seg_dir, f"move_mask_erode_{ckpt_name}.png"),
+                            self.move_seg_erode)
+        if self.propagate_seg is not None:
+            os.makedirs(seg_dir, exist_ok=True)
+            imageio.imwrite(os.path.join(seg_dir, f"propagate_mask_{ckpt_name}.png"),
+                            self.propagate_seg)
+
+    def project_points(self, points):
+        from ..core.camera import world2pix
+
+        return world2pix(jnp.asarray(points), self.intr, self.get_extr())
+
+    # ------------------------------------------------------------------
+    # mask-prompt propagation (reference: trainer.py:290-330)
+    # ------------------------------------------------------------------
+
+    def init_mask_prompt_pts(self, mask_prompt: np.ndarray, ckpt_name: str):
+        uv, _ = self.project_points(np.asarray(self.params.xyz))
+        uv = np.asarray(uv)
+        n = int(self.state.n_alive)
+        within = (
+            (uv[:, 0] > 0) & (uv[:, 0] < self.W - 1)
+            & (uv[:, 1] > 0) & (uv[:, 1] < self.H - 1)
+        )
+        within[n:] = False
+        sel = np.zeros(len(uv), bool)
+        xi = np.clip(uv[:, 0].astype(int), 0, self.W - 1)
+        yi = np.clip(uv[:, 1].astype(int), 0, self.H - 1)
+        sel[within] = np.asarray(mask_prompt)[yi[within], xi[within]] > 0
+        self.mask_prompt_pts = sel
+        if self.dir:
+            import imageio.v2 as imageio
+
+            seg_dir = os.path.join(self.dir, "images_seg")
+            os.makedirs(seg_dir, exist_ok=True)
+            imageio.imwrite(
+                os.path.join(seg_dir, f"propagate_mask_{ckpt_name}.png"),
+                (np.asarray(mask_prompt) > 0).astype(np.uint8) * 255,
+            )
+
+    # ------------------------------------------------------------------
+    # checkpoints (reference: trainer.py:252-288; npz instead of torch .tar)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, ckpt_name="ckpt"):
+        os.makedirs(os.path.join(self.dir, "ckpt"), exist_ok=True)
+        path = os.path.join(self.dir, "ckpt", f"{ckpt_name}.npz")
+        n = int(self.state.n_alive)
+        np.savez_compressed(
+            path,
+            xyz=np.asarray(self.params.xyz[:n]),
+            scale=np.asarray(self.params.scale[:n]),
+            rotate=np.asarray(self.params.rotate[:n]),
+            opacity=np.asarray(self.params.opacity[:n]),
+            rgb=np.asarray(self.params.rgb[:n]),
+            intr=np.asarray(self.intr),
+            extr=np.asarray(self.get_extr()),
+            still_mask=np.asarray(self.state.still_mask[:n]),
+            move_seg=self.move_seg if self.move_seg is not None else np.zeros(0),
+            last_uv=np.asarray(self.state.last_uv[:n]),
+            width=self.W,
+            height=self.H,
+        )
+        self.checkpoint_path = path
+
+    def load_checkpoint(self, path, show=False):
+        d = np.load(path, allow_pickle=False)
+        n = d["xyz"].shape[0]
+
+        def pad(x, fill=0.0):
+            out = np.full((self.capacity,) + x.shape[1:], fill, np.float32)
+            out[:n] = x
+            return jnp.asarray(out)
+
+        self.params = self.params._replace(
+            xyz=pad(d["xyz"]),
+            scale=pad(d["scale"], 1e-8),
+            rotate=pad(d["rotate"], 0.5),
+            opacity=pad(d["opacity"], -10.0),
+            rgb=pad(d["rgb"]),
+        )
+        self.intr = jnp.asarray(d["intr"])
+        self.load_camera(extr=d["extr"], show=show)
+        still = np.ones(self.capacity, bool)
+        still[:n] = d["still_mask"]
+        lu = np.zeros((self.capacity, 2), np.float32)
+        lu[:n] = d["last_uv"]
+        self.state = self.state._replace(
+            n_alive=jnp.asarray(n, jnp.int32),
+            last_num=jnp.asarray(n, jnp.int32),
+            still_mask=jnp.asarray(still),
+            last_uv=jnp.asarray(lu),
+        )
+        if d["move_seg"].size:
+            self.move_seg = d["move_seg"]
+
+    # ------------------------------------------------------------------
+    # trajectory eval (reference: trainer.py:713-811)
+    # ------------------------------------------------------------------
+
+    def eval(self, traj_index, line_scale=0.1, point_scale=0.3, alpha=0.5,
+             split_interval=None):
+        traj_index = np.asarray(traj_index, int)
+        num_traj = len(traj_index)
+        xyz_now = np.asarray(self.params.xyz)[traj_index]
+
+        if self._traj is None:
+            if split_interval is None or num_traj == split_interval:
+                ramp = np.arange(0, 1, 1 / num_traj, dtype=np.float32)[:, None]
+            else:
+                r1 = np.arange(0, 1, 1 / split_interval, dtype=np.float32)
+                r2 = np.arange(0, 1, 1 / (num_traj - split_interval), dtype=np.float32)
+                ramp = np.concatenate([r1, r2])[:, None]
+            rgb = np.asarray(
+                apply_float_colormap(jnp.asarray(ramp), colormap="gist_rainbow")
+            )
+            self._traj = {
+                "xyz": xyz_now.copy(),
+                "opacity": np.full((num_traj, 1), 0.99, np.float32),
+                "rgb": rgb,
+                "last_xyz": xyz_now.copy(),
+                "last_rgb": rgb.copy(),
+            }
+        else:
+            t = self._traj
+            line_xyz, line_rgb = _gen_line_set(t["last_xyz"], xyz_now, t["last_rgb"])
+            t["xyz"] = np.concatenate([t["xyz"], line_xyz])
+            t["opacity"] = np.concatenate(
+                [t["opacity"] * alpha, np.full((len(line_xyz), 1), 0.99, np.float32)]
+            )
+            t["rgb"] = np.concatenate([t["rgb"], line_rgb])
+            t["last_xyz"] = xyz_now.copy()
+
+        views = self.render_views(("rgb", "center", "depth_map_color"))
+        out_img = render2img(views["rgb"])
+        out_center = render2img(views["center"])
+        out_depth = render2img(views["depth_map_color"])
+
+        t = self._traj
+        nt = len(t["xyz"])
+        traj_img = render_traj(
+            jnp.asarray(t["xyz"]),
+            jnp.full((nt, 3), 1e-6),
+            jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (nt, 1)),
+            jnp.asarray(t["opacity"]),
+            jnp.asarray(t["rgb"]),
+            self.intr, self.get_extr(), self.bg, self.W, self.H,
+            point_num=num_traj, line_scale=line_scale, point_scale=point_scale,
+            config=self.render_config,
+        )
+        out_traj = render2img(traj_img)
+        # screen blending (trainer.py:798-806)
+        a1 = out_img.astype(np.float32) / 255
+        a2 = out_traj.astype(np.float32) / 255
+        upon = ((1 - (1 - a1) * (1 - a2)) * 255).astype(np.uint8)
+        return out_img, out_center, out_depth, out_traj, upon
+
+
+def _unit(q):
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def _gen_line_set(xyz1: np.ndarray, xyz2: np.ndarray, rgb: np.ndarray):
+    """Densify segments between consecutive trajectory positions into point
+    strips; returns (line+endpoint xyz, rgb) with endpoints LAST (reference:
+    gflow/utils/trainer_functions.py:5-40)."""
+    diff = xyz2 - xyz1
+    dist = np.linalg.norm(diff, axis=1)
+    line_xyz, line_rgb = [], []
+    for i in range(len(xyz1)):
+        L = max(2, int(dist[i] * 100))
+        ts = np.arange(L - 1, dtype=np.float32) / (L - 1)
+        line_xyz.append(xyz1[i] + ts[:, None] * diff[i])
+        line_rgb.append(np.tile(rgb[i], (L - 1, 1)))
+    line_xyz.append(xyz2)
+    line_rgb.append(rgb)
+    return (
+        np.concatenate(line_xyz).astype(np.float32),
+        np.concatenate(line_rgb).astype(np.float32),
+    )

@@ -1,0 +1,72 @@
+"""End-to-end fit_video on a tiny synthetic sequence."""
+import os
+
+import numpy as np
+import pytest
+
+from tests.synth import make_sequence
+
+
+@pytest.mark.slow
+def test_fit_video_end_to_end(tmp_path):
+    # NOTE: frame_range=-1 processes len-1 frames (reference semantics,
+    # gflow/fit_video.py:80-83), so 4 frames on disk -> 3 fitted.
+    seq = make_sequence(tmp_path, n_frames=4, W=96, H=64)
+    os.chdir(tmp_path)
+
+    from gflow_tpu.pipeline.fit_video import main
+
+    trainer = main(
+        num_points=600,
+        sequence_path=seq,
+        iterations_first=60,
+        iterations_after=25,
+        iterations_camera=8,
+        camera_first=True,
+        lr=0.01,
+        lr_camera=0.0,
+        lr_after=5e-3,
+        lr_camera_after=1e-4,
+        lambda_rgb=1.0,
+        lambda_depth=0.1,
+        lambda_var=50.0,
+        lambda_flow=0.01,
+        lambda_still=1.0,
+        densify_interval=30,
+        densify_times=1,
+        densify_interval_after=0,
+        traj_num=16,
+        logs_suffix=str(tmp_path / "logs"),
+    )
+
+    d = trainer.dir
+    # per-frame artifacts
+    imgs = sorted(os.listdir(os.path.join(d, "images")))
+    assert any(f.startswith("img_00000") for f in imgs)
+    assert any(f.startswith("img_00002") for f in imgs)
+    ckpts = sorted(os.listdir(os.path.join(d, "ckpt")))
+    assert len(ckpts) == 3  # one per frame (camera stage overwrites full)
+    # videos (mp4 when an encoder exists, MJPEG .avi fallback otherwise)
+    for name in ("sequence", "sequence_optimize", "training_rgb",
+                 "sequence_traj"):
+        assert os.path.exists(os.path.join(d, f"{name}.mp4")) or os.path.exists(
+            os.path.join(d, f"{name}.avi")
+        ), name
+    # pickles
+    import pickle
+
+    traj = pickle.load(open(os.path.join(d, "sequence_traj.pkl"), "rb"))
+    assert len(traj) == 3 and traj[0].ndim == 2
+
+    # quality: the final frame's render should beat a trivial baseline
+    final = trainer.render_views(("rgb",))["rgb"]
+    mse = float(np.mean((np.asarray(final) - trainer.gt_image) ** 2))
+    psnr = -10 * np.log10(mse)
+    assert psnr > 18, psnr
+
+    # moving-object segmentation should overlap the square's final position
+    seg = trainer.move_seg
+    assert seg is not None
+    # square at t=2: x in [32, 46), y in [24, 38)
+    inside = seg[26:36, 34:44].mean()
+    assert inside > 50, inside  # mostly filled (255-scale)
