@@ -1,0 +1,109 @@
+"""Benchmark: end-to-end per-frame fit cost at the reference's canonical
+config (480p, 50k Gaussians, 150 camera-only + 300 full iterations per frame
+— scripts/fit_video.sh:15-48), on one real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline for vs_baseline: the reference (msplat CUDA, single A100, with its
+hardcoded CUDA_LAUNCH_BLOCKING=1 — fit_video.sh:15) is estimated at
+~100 optimizer iterations/sec at this config => 4.5 s/frame for the same
+450-iteration budget. The repo publishes no numbers (BASELINE.md), so this
+constant encodes the BASELINE.json north star "<= the A100 reference
+sec/frame"; vs_baseline > 1 means faster than that bar.
+"""
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+A100_REFERENCE_SEC_PER_FRAME = 4.5
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gflow_tpu.core.camera import default_intrinsics
+from gflow_tpu.opt import (
+    LossWeights,
+    StageConfig,
+    StageDynamics,
+    Targets,
+    init_frame_state,
+    train_stage,
+)
+from gflow_tpu.opt.initialize import init_params_from_image
+from gflow_tpu.ops.render import RenderConfig
+
+
+def main():
+    W, H = 854, 480
+    N = 50_000
+    CAP = 65_536
+    iters_camera, iters_full = 150, 300
+
+    rng = np.random.default_rng(0)
+    from scipy.ndimage import gaussian_filter
+
+    img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    for c in range(3):
+        img[..., c] = gaussian_filter(img[..., c], 8)
+    img = (img - img.min()) / (img.max() - img.min())
+    depth = (2 + img[..., 0]).astype(np.float32)
+    # square focal like the real pipeline (load_camera sets focal,focal;
+    # pix2world mirrors the reference's fx-for-both-axes quirk)
+    intr = np.asarray([500.0, 500.0, W / 2, H / 2], np.float32)
+    extr = np.c_[np.eye(3), np.zeros(3)].astype(np.float32)
+
+    params, n = init_params_from_image(img, depth, N, CAP, intr, extr, rng=rng)
+    state = init_frame_state(CAP)._replace(n_alive=jnp.asarray(n, jnp.int32))
+    targets = Targets(
+        image=jnp.asarray(img),
+        depth=jnp.asarray(depth)[..., None],
+        flow=jnp.zeros((H, W, 2)),
+        move_mask=jnp.zeros((H, W), bool),
+        occ_mask=jnp.zeros((H, W), bool),
+    )
+    rcfg = RenderConfig()
+    weights = LossWeights.make(rgb=1.0, depth=0.1, var=50.0, flow=0.01)
+    dyn_cam = StageDynamics.make(lr=1e-2, lr_camera=1e-3, weights=weights,
+                                 num_points=N)
+    dyn_full = StageDynamics.make(lr=1e-3, lr_camera=0.0, weights=weights,
+                                  num_points=N)
+    cfg_cam = StageConfig(W=W, H=H, iterations=iters_camera, camera_only=True,
+                          render=rcfg)
+    cfg_full = StageConfig(W=W, H=H, iterations=iters_full, render=rcfg)
+
+    f_cam = jax.jit(functools.partial(train_stage, cfg=cfg_cam, dyn=dyn_cam))
+    f_full = jax.jit(functools.partial(train_stage, cfg=cfg_full, dyn=dyn_full))
+    key = jax.random.PRNGKey(0)
+    intr_j = jnp.asarray(intr)
+
+    def frame(params, state, k):
+        k1, k2 = jax.random.split(k)
+        params, state, _ = f_cam(params, state, targets, intr_j, k1)
+        params, state, info = f_full(params, state, targets, intr_j, k2)
+        return params, state, info
+
+    # warmup (compile both stages)
+    p, s, info = frame(params, state, key)
+    jax.block_until_ready(p)
+
+    t0 = time.time()
+    n_frames = 3
+    for i in range(n_frames):
+        p, s, info = frame(p, s, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(p)
+    sec_per_frame = (time.time() - t0) / n_frames
+
+    print(json.dumps({
+        "metric": "sec/frame fit (480p, 50k pts, 150 camera + 300 full iters)",
+        "value": round(sec_per_frame, 3),
+        "unit": "s/frame",
+        "vs_baseline": round(A100_REFERENCE_SEC_PER_FRAME / sec_per_frame, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,13 +5,16 @@ gflow/utils/render.py:52-54). The CUDA implementation duplicates each
 Gaussian per touched 16x16 tile, radix-sorts packed (tile, depth) keys and
 extracts per-tile ranges with atomics. On TPU we keep **static shapes**:
 
-1. every Gaussian emits exactly MAX_TILES_PER_GAUSSIAN candidate entries
-   (entries past its actual tile-rect get a sentinel tile id),
-2. one `jax.lax.sort` lexicographically orders (tile, depth) — XLA's TPU sort
-   is efficient and fully on-device,
-3. per-tile ranks come from a vectorized searchsorted (segment starts), and a
-   scatter with mode='drop' packs the first K entries of each tile into a
-   dense (num_tiles, K) index matrix.
+1. every Gaussian emits a fixed MX x MY grid of candidate tile entries
+   covering its tile-rect (entries outside the rect get a sentinel id).
+   MX is a power of two so the lane->offset decomposition is bit ops —
+   integer div/mod by a *runtime* divisor has no TPU vector hardware and
+   costs ~100x (measured: it dominated an early implementation),
+2. one `jax.lax.sort` lexicographically orders (tile, depth) — XLA's TPU
+   radix sort handles the ~1M-entry stream in well under a millisecond,
+3. per-tile ranks come from a cummax over segment starts, and a scatter
+   with mode='drop' packs the first K entries of each tile into a dense
+   (num_tiles, K) index matrix.
 
 The resulting index matrix is integer data (treated as constant by autodiff);
 gradients flow through the values *gathered* with it in the compositing
@@ -29,10 +32,26 @@ from .reference import _tile_rect
 
 
 class TileBins(NamedTuple):
+    # arrays only (vmap-friendly); grid dims come from tile_grid(W, H)
     tile_lists: jax.Array   # (T, K) int32 gaussian indices, -1 = empty
-    tile_counts: jax.Array  # (T,) int32 number of valid entries (pre-truncation, capped at K in lists)
-    n_tx: int
-    n_ty: int
+    tile_counts: jax.Array  # (T,) int32 valid entries (uncapped count)
+
+
+def tile_grid(W: int, H: int) -> tuple[int, int]:
+    return -(-W // TILE), -(-H // TILE)
+
+
+def _rect_grid_dims(max_tiles_per_gaussian: int) -> tuple[int, int]:
+    """Static (MX, MY) candidate grid with MX a power of two."""
+    m = max(4, max_tiles_per_gaussian)
+    # wide-ish grids suit typical splats; MX power of two for cheap div/mod
+    if m >= 64:
+        return 8, 8
+    if m >= 32:
+        return 8, 4
+    if m >= 16:
+        return 4, 4
+    return 4, 2
 
 
 def bin_gaussians(
@@ -45,25 +64,36 @@ def bin_gaussians(
     max_tiles_per_gaussian: int = 32,
 ) -> TileBins:
     N = uv.shape[0]
-    M = max_tiles_per_gaussian
+    MX, MY = _rect_grid_dims(max_tiles_per_gaussian)
+    M = MX * MY
     K = max_per_tile
-    n_tx = -(-W // TILE)
-    n_ty = -(-H // TILE)
+    n_tx, n_ty = tile_grid(W, H)
     T = n_tx * n_ty
 
     visible = depth[:, 0] > 0
     rminx, rmaxx, rminy, rmaxy = _tile_rect(uv, radius, n_tx, n_ty)
-    rw = jnp.maximum(rmaxx - rminx, 0)
-    rh = jnp.maximum(rmaxy - rminy, 0)
-    n_rect = rw * rh
 
-    # entry j of gaussian i covers tile (rminx + j % rw, rminy + j // rw)
+    # The static MX x MY candidate grid is CENTERED on the Gaussian's own
+    # tile (clamped into its rect): when a large splat's rect exceeds the
+    # grid, coverage is lost symmetrically at the far corners (where alpha
+    # is smallest) instead of clipping one side — an anchored-at-rect-min
+    # enumeration measurably destabilizes optimization of large splats.
+    cx = jnp.floor(uv[:, 0] / TILE - (MX - 1) / 2).astype(jnp.int32)
+    cy = jnp.floor(uv[:, 1] / TILE - (MY - 1) / 2).astype(jnp.int32)
+    gx0 = jnp.clip(cx, rminx, jnp.maximum(rmaxx - MX, rminx))
+    gy0 = jnp.clip(cy, rminy, jnp.maximum(rmaxy - MY, rminy))
+
+    # entry j covers tile (gx0 + j % MX, gy0 + j // MX); static MX (power of
+    # 2) keeps the decomposition on the VPU as shifts/masks
     j = jnp.arange(M, dtype=jnp.int32)[None, :]  # (1, M)
-    safe_rw = jnp.maximum(rw, 1)[:, None]
-    ox = j % safe_rw
-    oy = j // safe_rw
-    tile = (rminy[:, None] + oy) * n_tx + (rminx[:, None] + ox)  # (N, M)
-    valid = (j < n_rect[:, None]) & visible[:, None]
+    ox = j & (MX - 1)
+    oy = j >> (MX.bit_length() - 1)
+    tx = gx0[:, None] + ox
+    ty = gy0[:, None] + oy
+    tile = ty * n_tx + tx  # (N, M)
+    valid = (
+        (tx < rmaxx[:, None]) & (ty < rmaxy[:, None]) & visible[:, None]
+    )
     tile = jnp.where(valid, tile, T)  # sentinel = T (out of range)
 
     tile_flat = tile.reshape(-1)
@@ -76,16 +106,17 @@ def bin_gaussians(
         (tile_flat, depth_flat, idx_flat), num_keys=2, is_stable=False
     )
 
-    # rank within tile segment
+    # segment starts per tile via binary search over the sorted stream, then
+    # a dense (T, K) gather — far cheaper on TPU than scattering L entries
     L = tile_s.shape[0]
-    seg_start = jnp.searchsorted(tile_s, tile_s, side="left")
-    rank = jnp.arange(L, dtype=jnp.int32) - seg_start.astype(jnp.int32)
+    starts = jnp.searchsorted(
+        tile_s, jnp.arange(T + 1, dtype=tile_s.dtype), side="left"
+    ).astype(jnp.int32)  # (T+1,); starts[T] = first sentinel position
+    k = jnp.arange(K, dtype=jnp.int32)
+    pos = starts[:T, None] + k[None, :]           # (T, K)
+    in_seg = pos < starts[1:, None]
+    pos = jnp.minimum(pos, L - 1)
+    tile_lists = jnp.where(in_seg, idx_s[pos], -1)
+    tile_counts = starts[1:] - starts[:T]
 
-    tile_lists = jnp.full((T, K), -1, jnp.int32)
-    # entries with tile_s == T (sentinel) or rank >= K are dropped
-    tile_lists = tile_lists.at[tile_s, rank].set(idx_s, mode="drop")
-
-    ones = jnp.ones_like(tile_s)
-    tile_counts = jnp.zeros((T,), jnp.int32).at[tile_s].add(ones, mode="drop")
-
-    return TileBins(tile_lists=tile_lists, tile_counts=tile_counts, n_tx=n_tx, n_ty=n_ty)
+    return TileBins(tile_lists=tile_lists, tile_counts=tile_counts)

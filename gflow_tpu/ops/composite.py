@@ -83,7 +83,9 @@ def composite_tiles(
         b = c_conic[:, :, 1:2]
         c = c_conic[:, :, 2:3]
         power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-        alpha = jnp.minimum(ALPHA_CLAMP, c_op * jnp.exp(power))
+        # clamp before exp: a PSD conic keeps power <= 0, but padded/garbage
+        # lanes can overflow exp and poison fused gradients with inf*0
+        alpha = jnp.minimum(ALPHA_CLAMP, c_op * jnp.exp(jnp.minimum(power, 0.0)))
         alpha = jnp.where(power > 0, 0.0, alpha)
         alpha = jnp.where(alpha < ALPHA_SKIP, 0.0, alpha)
 

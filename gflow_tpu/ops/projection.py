@@ -43,6 +43,16 @@ def compute_cov3d(scale: jax.Array, rotate_wxyz: jax.Array) -> jax.Array:
     )
 
 
+def supported_max_radius(max_tiles_per_gaussian: int) -> float:
+    """Largest projected 3-sigma radius (px) the binning stage's static
+    candidate grid is guaranteed to cover when centered on the splat
+    (see ops/binning.py): (MX/2)*TILE - TILE/2 for the smaller grid axis."""
+    from .binning import _rect_grid_dims
+
+    mx, my = _rect_grid_dims(max_tiles_per_gaussian)
+    return (min(mx, my) / 2) * TILE - TILE / 2
+
+
 def project_gaussians(
     xyz: jax.Array,
     scale: jax.Array,
@@ -51,6 +61,7 @@ def project_gaussians(
     extr: jax.Array,
     W: int,
     H: int,
+    max_radius: float | None = None,
 ):
     """Full projection pipeline in one differentiable function.
 
@@ -108,9 +119,29 @@ def project_gaussians(
     cov2_b = jnp.sum(a1 * s0, axis=-1)
     cov2_c = jnp.sum(a1 * sigma_vec(a1), axis=-1) + DILATION
 
+    if max_radius is not None:
+        # isotropically shrink the 2D covariance so the 3-sigma radius never
+        # exceeds what the binning stage's static per-Gaussian tile grid can
+        # cover. Without this, oversized splats render as hard-edged squares
+        # (the grid boundary) and their gradients chase the artifact. The
+        # CUDA reference has unbounded per-tile lists and needs no cap; this
+        # is the TPU static-shape trade, kept consistent between rendering
+        # and binning so optimization stays well-posed.
+        mid0 = 0.5 * (cov2_a + cov2_c)
+        det0 = cov2_a * cov2_c - cov2_b * cov2_b
+        lam0 = mid0 + jnp.sqrt(jnp.maximum(mid0 * mid0 - det0, 0.1))
+        shrink = jnp.minimum(1.0, ((max_radius / 3.0) ** 2) / lam0)
+        cov2_a = cov2_a * shrink
+        cov2_b = cov2_b * shrink
+        cov2_c = cov2_c * shrink
+
     det = cov2_a * cov2_c - cov2_b * cov2_b
     det_ok = det > 1e-12
-    safe_det = jnp.where(det_ok, det, 1.0)
+    # the +0.3 dilation guarantees det >= 0.3*(a+c) + 0.09 mathematically;
+    # values below that are fp cancellation on huge covariances. Flooring the
+    # divisor bounds conic magnitudes AND the 1/det^2 terms in its gradient —
+    # unbounded they overflow f32 to inf and poison Adam moments with NaN.
+    safe_det = jnp.maximum(det, 9e-2)
     conic = jnp.stack(
         [cov2_c / safe_det, -cov2_b / safe_det, cov2_a / safe_det], axis=-1
     )

@@ -55,7 +55,7 @@ def composite_dense(
     dy = py[None, :] - uv[:, 1:2]
     a, b, c = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(ALPHA_CLAMP, opacity * jnp.exp(power))
+    alpha = jnp.minimum(ALPHA_CLAMP, opacity * jnp.exp(jnp.minimum(power, 0.0)))
     alpha = jnp.where(power > 0, 0.0, alpha)
     alpha = jnp.where(alpha < ALPHA_SKIP, 0.0, alpha)
     alpha = alpha * visible[:, None]

@@ -21,19 +21,21 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from .binning import bin_gaussians
+from .binning import bin_gaussians, tile_grid
 from .composite import composite_tiles
-from .projection import project_gaussians
+from .projection import project_gaussians, supported_max_radius
 from ..viz.colormap import apply_float_colormap
 
 
 @dataclass(frozen=True)
 class RenderConfig:
-    max_per_tile: int = 256
-    max_tiles_per_gaussian: int = 32
+    # Depth-sorted truncation keeps the NEAREST K per tile, so modest K
+    # loses only splats already hidden behind ~full transmittance.
+    max_per_tile: int = 128
+    max_tiles_per_gaussian: int = 16
     tile_chunk: int = 64
     center_scale: float = 10.0  # matches render_multiple's default (render.py:8)
-    backend: str = "xla"  # "xla" | "pallas"
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
 
 
 DEFAULT_CONFIG = RenderConfig()
@@ -56,7 +58,10 @@ def render(
     """All array inputs are *activated* values. Returns a dict of requested
     outputs: rgb/depth_map/depth_map_color/center are (H, W, C); uv is (N, 2);
     depth is (N, 1) with 0 == culled."""
-    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    proj = project_gaussians(
+        xyz, scale, rotate, intr, extr, W, H,
+        max_radius=supported_max_radius(config.max_tiles_per_gaussian),
+    )
     uv, depth, conic, radius = proj["uv"], proj["depth"], proj["conic"], proj["radius"]
 
     out = {}
@@ -70,6 +75,7 @@ def render(
     if not (need_main or need_center):
         return out
 
+    n_tx, n_ty = tile_grid(W, H)
     bins = bin_gaussians(
         uv,
         depth,
@@ -103,7 +109,7 @@ def render(
 
         img = compose(
             bins.tile_lists, uv, conic, opacity, jnp.concatenate(feats, axis=1),
-            bg, W, H, bins.n_tx, bins.n_ty,
+            bg, W, H, n_tx, n_ty,
         )
         for name, (s, e) in slices.items():
             out[name] = img[..., s:e]
@@ -116,7 +122,7 @@ def render(
         center_op = jnp.where(depth > 0, 1.0, 0.0)
         out["center"] = compose(
             bins.tile_lists, uv, center_conic, center_op, rgb,
-            bg, W, H, bins.n_tx, bins.n_ty,
+            bg, W, H, n_tx, n_ty,
         )
 
     return out
@@ -144,6 +150,7 @@ def render_traj(
     len-point_num entries by point_scale; we mirror that exactly)."""
     proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
     uv, depth, conic, radius = proj["uv"], proj["depth"], proj["conic"], proj["radius"]
+    n_tx, n_ty = tile_grid(W, H)
     bins = bin_gaussians(
         uv, depth, radius, W, H,
         max_per_tile=config.max_per_tile,
@@ -157,12 +164,18 @@ def render_traj(
     traj_conic = jnp.broadcast_to(ident, conic.shape) * scale_per_pt
     compose = _get_compositor(config)
     return compose(
-        bins.tile_lists, uv, traj_conic, opacity, rgb, bg, W, H, bins.n_tx, bins.n_ty
+        bins.tile_lists, uv, traj_conic, opacity, rgb, bg, W, H, n_tx, n_ty
     )
 
 
+def resolve_backend(config: RenderConfig) -> str:
+    if config.backend != "auto":
+        return config.backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def _get_compositor(config: RenderConfig):
-    if config.backend == "pallas":
+    if resolve_backend(config) == "pallas":
         from .pallas_raster import composite_tiles_pallas
 
         def compose(tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty):

@@ -39,29 +39,34 @@ def _ssim_window(window_size: int = 11, sigma: float = 1.5):
     import numpy as np
 
     g = np.asarray(xs, np.float32)
-    g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return w2d
+    return g / g.sum()
 
 
-def _depthwise_conv(img, w2d):
-    """img (C, H, W), w2d (k, k) -> same-size depthwise conv, zero padding."""
+def _depthwise_conv(img, w1d):
+    """img (C, H, W), w1d (k,) separable window -> same-size depthwise conv,
+    zero padding. Two 1D passes: the Gaussian window is separable, so this is
+    k/2x cheaper than the reference's dense 2D conv
+    (gflow/utils/pytorch_ssim.py:12-15 builds the 2D outer product)."""
     C = img.shape[0]
-    k = w2d.shape[0]
-    kernel = jnp.broadcast_to(jnp.asarray(w2d)[None, None], (C, 1, k, k))
-    return jax.lax.conv_general_dilated(
-        img[None],
-        kernel,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=C,
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]
+    k = w1d.shape[0]
+    w = jnp.asarray(w1d)
+    kh = jnp.broadcast_to(w[None, None, :, None], (C, 1, k, 1))
+    kw = jnp.broadcast_to(w[None, None, None, :], (C, 1, 1, k))
+    x = img[None]
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(k // 2, k // 2), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (k // 2, k // 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+    )
+    return x[0]
 
 
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
-    """Mean SSIM of two (H, W, C) images in [0, 1]."""
+    """Mean SSIM of two (H, W, C) images in [0, 1] (window 11, sigma 1.5,
+    zero-padded — matches gflow/utils/pytorch_ssim.py numerics)."""
     w2d = _ssim_window(window_size)
     x = jnp.transpose(img1, (2, 0, 1))
     y = jnp.transpose(img2, (2, 0, 1))
@@ -162,7 +167,13 @@ def compute_losses(
     # (trainer.py:476-488) ----
     d_norm = depth_ab[0] * rendered_depth_map + depth_ab[1]
     gt_d = targets.depth
-    loss_depth_map = (d_norm - gt_d) ** 2 / (d_norm + gt_d)
+    # POSITIVE denominator floor. The reference divides by (d_norm + gt) raw
+    # (trainer.py:482); if the learned scale/shift drives it negative the
+    # loss becomes negative and the optimizer maximizes depth error to -inf
+    # (observed divergence->NaN on sparse-coverage frames). Identical in the
+    # healthy regime, a barrier otherwise.
+    denom = jnp.maximum(d_norm + gt_d, 1e-3)
+    loss_depth_map = (d_norm - gt_d) ** 2 / denom
     if camera_only:
         loss_depth_map = loss_depth_map * not_move[..., None]
     loss_depth = jnp.mean(loss_depth_map)

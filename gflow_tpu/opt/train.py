@@ -29,9 +29,10 @@ import jax.numpy as jnp
 
 from ..core.camera import pose_to_extr, pix2world
 from ..core.scene import OPACITY_SENSITIVITY
-from ..ops.binning import bin_gaussians
+from ..ops.binning import bin_gaussians, tile_grid
 from ..ops.composite import composite_tiles
-from ..ops.projection import project_gaussians
+from ..ops.render import _get_compositor
+from ..ops.projection import project_gaussians, supported_max_radius
 from ..ops.render import RenderConfig, DEFAULT_CONFIG
 from .losses import LossWeights, compute_losses
 from .state import FrameState, OptState, Params, adam_update, init_opt_state
@@ -96,17 +97,22 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
     """Render + losses. Returns (total, aux)."""
     extr = pose_to_extr(params.pose)
     scale, rotate, opacity, rgb = _activate(params, n_alive)
-    proj = project_gaussians(params.xyz, scale, rotate, intr, extr, cfg.W, cfg.H)
+    proj = project_gaussians(
+        params.xyz, scale, rotate, intr, extr, cfg.W, cfg.H,
+        max_radius=supported_max_radius(cfg.render.max_tiles_per_gaussian),
+    )
     uv, depth, conic, radius = proj["uv"], proj["depth"], proj["conic"], proj["radius"]
+    n_tx, n_ty = tile_grid(cfg.W, cfg.H)
     bins = bin_gaussians(
         uv, depth, radius, cfg.W, cfg.H,
         max_per_tile=cfg.render.max_per_tile,
         max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
     )
+    compose = _get_compositor(cfg.render)
     feats = jnp.concatenate([rgb, depth], axis=1)  # fused rgb + depth pass
-    img = composite_tiles(
+    img = compose(
         bins.tile_lists, uv, conic, opacity, feats, cfg.bg,
-        cfg.W, cfg.H, bins.n_tx, bins.n_ty, tile_chunk=cfg.render.tile_chunk,
+        cfg.W, cfg.H, n_tx, n_ty,
     )
     rendered_rgb = img[..., :3]
     rendered_depth = img[..., 3:4]
@@ -119,15 +125,14 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
             (jnp.arange(params.capacity) < state.last_num)
             & ~state.still_mask_tentative
         )[:, None]
-        cov = composite_tiles(
+        cov = compose(
             bins.tile_lists,
             jax.lax.stop_gradient(uv),
             jax.lax.stop_gradient(conic),
             jax.lax.stop_gradient(opacity) * mov,
             jnp.ones_like(depth),
             0.0,
-            cfg.W, cfg.H, bins.n_tx, bins.n_ty,
-            tile_chunk=cfg.render.tile_chunk,
+            cfg.W, cfg.H, n_tx, n_ty,
         )
         move_mask = move_mask | (cov[..., 0] > 0)
 
@@ -149,7 +154,17 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
 
 
 def _gate_grads(grads: Params, state: FrameState, n_alive, camera_only: bool):
-    """Gradient control (trainer.py:535-551)."""
+    """Gradient control (trainer.py:535-551) + non-finite sanitization.
+
+    Rasterizer gradients legitimately reach ~1e9 on degenerate splats; XLA
+    fusion re-association can push marginal intermediates over f32 max,
+    and a single inf gradient permanently NaN-poisons Adam's moments.
+    Zeroing non-finite entries keeps the optimization healthy (observed as a
+    fusion-dependent heisenbug: adding any isfinite reduction changed the
+    schedule and the NaN vanished)."""
+    grads = jax.tree.map(
+        lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+    )
     C = grads.capacity
     has_last = state.last_num > 0
     in_prev = jnp.arange(C) < state.last_num

@@ -1,0 +1,67 @@
+"""Pallas kernel parity vs the XLA compositor. Runs on real TPU only
+(GFLOW_TEST_TPU=1); the CPU suite covers the XLA path against the dense
+oracle instead."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+if jax.default_backend() != "tpu":
+    pytest.skip("pallas kernels require TPU", allow_module_level=True)
+
+from gflow_tpu.core.camera import default_intrinsics
+from gflow_tpu.ops.projection import project_gaussians
+from gflow_tpu.ops.binning import bin_gaussians, tile_grid
+from gflow_tpu.ops.composite import composite_tiles
+from gflow_tpu.ops.pallas_raster import composite_tiles_pallas
+
+
+def setup(W=160, H=96, n=2048, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = jnp.asarray(
+        np.c_[rng.uniform(-1, 1, (n, 2)), rng.uniform(2, 6, (n, 1))], jnp.float32
+    )
+    scale = jnp.asarray(rng.uniform(0.01, 0.08, (n, 3)), jnp.float32)
+    rotate = jnp.asarray(np.tile([1, 0, 0, 0], (n, 1)), jnp.float32)
+    opacity = jnp.asarray(rng.uniform(0.2, 0.9, (n, 1)), jnp.float32)
+    rgb = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    feats = jnp.concatenate([rgb, jnp.ones((n, 1))], 1)
+    intr = default_intrinsics(W, H)
+    extr = jnp.asarray(np.c_[np.eye(3), np.zeros(3)], jnp.float32)
+    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H, 256, 32)
+    n_tx, n_ty = tile_grid(W, H)
+    return proj, bins, opacity, feats, n_tx, n_ty, W, H
+
+
+def test_pallas_forward_matches_xla():
+    proj, bins, opacity, feats, n_tx, n_ty, W, H = setup()
+    args = (bins.tile_lists, proj["uv"], proj["conic"], opacity, feats, 0.25)
+    img_x = composite_tiles(*args, W, H, n_tx, n_ty, tile_chunk=16)
+    img_p = composite_tiles_pallas(*args, W, H, n_tx, n_ty)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_x), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_pallas_gradients_match_xla():
+    proj, bins, opacity, feats, n_tx, n_ty, W, H = setup(seed=1)
+
+    def loss(compose, uv, conic, op, f):
+        img = compose(bins.tile_lists, uv, conic, op, f, 0.25, W, H, n_tx, n_ty)
+        return jnp.sum(img**2)
+
+    import functools
+
+    gx = jax.grad(
+        functools.partial(loss, functools.partial(composite_tiles, tile_chunk=16)),
+        argnums=(0, 1, 2, 3),
+    )(proj["uv"], proj["conic"], opacity, feats)
+    gp = jax.grad(
+        functools.partial(loss, composite_tiles_pallas), argnums=(0, 1, 2, 3)
+    )(proj["uv"], proj["conic"], opacity, feats)
+    for a, b in zip(gx, gp):
+        ref = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(b) / ref, np.asarray(a) / ref, atol=5e-4
+        )

@@ -7,7 +7,7 @@ import pytest
 from gflow_tpu.core import camera as cam
 from gflow_tpu.ops.projection import project_gaussians
 from gflow_tpu.ops.reference import composite_dense
-from gflow_tpu.ops.binning import bin_gaussians
+from gflow_tpu.ops.binning import bin_gaussians, tile_grid
 from gflow_tpu.ops.composite import composite_tiles
 from gflow_tpu.ops.render import render
 
@@ -47,9 +47,10 @@ def test_tiled_matches_dense(seed):
     )
     bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
                          max_per_tile=128, max_tiles_per_gaussian=64)
+    n_tx, n_ty = tile_grid(W, H)
     img_tiled = composite_tiles(
         bins.tile_lists, proj["uv"], proj["conic"], opacity, rgb,
-        bg, W, H, bins.n_tx, bins.n_ty, tile_chunk=4,
+        bg, W, H, n_tx, n_ty, tile_chunk=4,
     )
     np.testing.assert_allclose(
         np.asarray(img_tiled), np.asarray(img_dense), atol=1e-4, rtol=1e-4
@@ -131,9 +132,10 @@ def test_tiled_gradients_match_dense():
         proj = project_gaussians(xyz, scale, rotate, intr, extr_, W, H)
         bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
                              max_per_tile=64, max_tiles_per_gaussian=64)
+        n_tx, n_ty = tile_grid(W, H)
         img = composite_tiles(
             bins.tile_lists, proj["uv"], proj["conic"], opacity, rgb,
-            0.0, W, H, bins.n_tx, bins.n_ty, tile_chunk=2,
+            0.0, W, H, n_tx, n_ty, tile_chunk=2,
         )
         return jnp.mean((img - target) ** 2)
 
@@ -158,9 +160,10 @@ def test_finite_difference_gradcheck():
         proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
         bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
                              max_per_tile=32, max_tiles_per_gaussian=64)
+        n_tx, n_ty = tile_grid(W, H)
         img = composite_tiles(
             bins.tile_lists, proj["uv"], proj["conic"], opacity, rgb,
-            0.0, W, H, bins.n_tx, bins.n_ty, tile_chunk=1,
+            0.0, W, H, n_tx, n_ty, tile_chunk=1,
         )
         return jnp.sum(img**2)
 
