@@ -62,4 +62,23 @@ def make_sequence(root, n_frames=4, W=96, H=64, seed=0):
             write_flow(str(seq) + f"_flow_unimatch/{name}_pred.flo", flow)
             occ = np.zeros((H, W), np.uint8)
             imageio.imwrite(str(seq) + f"_flow_unimatch/{name}_occ_bwd.png", occ)
+
+    # TAP-Vid-style ground-truth tracks (tracking.pkl: normalized xy points
+    # + occlusion flags, the format split_tapvid_davis.py produces)
+    import pickle
+
+    qs = [
+        (x0 + sq / 2, y0 + sq / 2, vx),   # square center (moving)
+        (10.0, 10.0, 0.0),                # static background points
+        (W - 12.0, H - 10.0, 0.0),
+        (W / 2.0, H - 8.0, 0.0),
+    ]
+    Q = len(qs)
+    pts = np.zeros((Q, n_frames, 2), np.float64)
+    for qi, (qx, qy, v) in enumerate(qs):
+        for t in range(n_frames):
+            pts[qi, t] = [(qx + v * t) / W, qy / H]
+    occl = np.zeros((Q, n_frames), bool)
+    with open(seq / "tracking.pkl", "wb") as f:
+        pickle.dump({"points": pts, "occluded": occl}, f)
     return seq

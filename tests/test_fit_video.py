@@ -70,3 +70,16 @@ def test_fit_video_end_to_end(tmp_path):
     # square at t=2: x in [32, 46), y in [24, 38)
     inside = seg[26:36, 34:44].mean()
     assert inside > 50, inside  # mostly filled (255-scale)
+
+    # ---- full benchmark suite over the produced logs ----
+    from gflow_tpu.eval.benchmark import main as bench_main
+
+    res = bench_main(log_path=d, sequence_path=str(seq), csv_name="metrics")
+    assert res["PSNR"] is not None and res["PSNR"] > 15
+    assert res["SSIM"] is not None and res["SSIM"] > 0.3
+    assert res["Occlusion_Accuracy"] is not None
+    assert res["Average_Jaccard"] is not None
+    assert res["J_zero"] is not None and 0 <= res["J_zero"] <= 1
+    # static-camera sequence fitted with lr_camera 0: ATE should be ~0
+    assert res["ATE"] is not None and res["ATE"] < 0.05
+    assert os.path.exists(os.path.join(d, "metrics.csv"))
