@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 
 from ..core import io as gio
+from ..utils.profiling import Telemetry
 from ..utils.tracking import find_closest_point, process_occu, process_traj_to_tracks
 from ..viz.colormap import print_color
 from ..viz.traj_visualizer import TrajVisualizer
@@ -75,6 +76,7 @@ def main(
     mask_exist = len(files["masks"]) > 0
 
     start_time = time.time()
+    telemetry = Telemetry()
     collect = {
         k: []
         for k in (
@@ -101,17 +103,21 @@ def main(
         trainer.load_camera(extr=extr_list[0])
     trainer.init_gaussians_from_image(gt_image0, gt_depth0, num_points=num_points)
 
-    out = trainer.train(
-        iterations=iterations_first, lr=lr, lr_camera=lr_camera,
-        save_imgs=True, save_videos=True, save_ckpt=True, ckpt_name=save_name0,
-        lambda_rgb=lambda_rgb, lambda_depth=lambda_depth, lambda_var=lambda_var,
-        lambda_scale=lambda_scale, densify_times=densify_times,
-        densify_interval=densify_interval,
-        move_mask=move_masks[0] if move_masks else None,
-        densify_occ_percent=densify_occ_percent,
-        densify_err_thre=densify_err_thre,
-        densify_err_percent=densify_err_percent,
-    )
+    with telemetry.phase("frame0_fit"):
+        out = trainer.train(
+            iterations=iterations_first, lr=lr, lr_camera=lr_camera,
+            save_imgs=True, save_videos=True, save_ckpt=True,
+            ckpt_name=save_name0,
+            lambda_rgb=lambda_rgb, lambda_depth=lambda_depth,
+            lambda_var=lambda_var,
+            lambda_scale=lambda_scale, densify_times=densify_times,
+            densify_interval=densify_interval,
+            move_mask=move_masks[0] if move_masks else None,
+            densify_occ_percent=densify_occ_percent,
+            densify_err_thre=densify_err_thre,
+            densify_err_percent=densify_err_percent,
+        )
+    telemetry.count_frame(iterations_first)
     _collect_stage(collect, out, first=True)
 
     if mask_exist:
@@ -148,35 +154,39 @@ def main(
 
         if camera_first:
             print_color(f"[{i+1}/{n_frames}] fitting camera-only first ......")
-            out = trainer.train(
-                iterations=iterations_camera, lr_camera=lr_camera_after,
-                save_imgs=True, save_ckpt=True, ckpt_name=save_name,
-                lambda_rgb=lambda_rgb, lambda_depth=lambda_depth,
-                lambda_var=0.0, lambda_still=0.0, lambda_flow=lambda_flow,
-                camera_only=True, move_mask=mm,
-                densify_occ_percent=densify_occ_percent,
-                densify_err_thre=densify_err_thre,
-                densify_err_percent=densify_err_percent,
-            )
+            with telemetry.phase("camera_stage"):
+                out = trainer.train(
+                    iterations=iterations_camera, lr_camera=lr_camera_after,
+                    save_imgs=True, save_ckpt=True, ckpt_name=save_name,
+                    lambda_rgb=lambda_rgb, lambda_depth=lambda_depth,
+                    lambda_var=0.0, lambda_still=0.0, lambda_flow=lambda_flow,
+                    camera_only=True, move_mask=mm,
+                    densify_occ_percent=densify_occ_percent,
+                    densify_err_thre=densify_err_thre,
+                    densify_err_percent=densify_err_percent,
+                )
             for k_src, k_dst in (("frames", "opt"), ("frames_center", "center_opt"),
                                  ("frames_depth", "depth_opt")):
                 collect[k_dst] += out[k_src]
 
         if iterations_after > 0:
             print_color(f"[{i+1}/{n_frames}] Optimize all ......")
-            out = trainer.train(
-                iterations=iterations_after, lr=lr_after, lr_camera=0.0,
-                save_imgs=True, save_ckpt=True, ckpt_name=save_name,
-                lambda_rgb=lambda_rgb, lambda_depth=lambda_depth,
-                lambda_var=lambda_var, lambda_still=lambda_still,
-                lambda_scale=lambda_scale, lambda_flow=lambda_flow,
-                densify_times=densify_times_after,
-                densify_interval=densify_interval_after,
-                mask=occ_mask, move_mask=mm,
-                densify_occ_percent=densify_occ_percent,
-                densify_err_thre=densify_err_thre,
-                densify_err_percent=densify_err_percent,
-            )
+            with telemetry.phase("full_stage"):
+                out = trainer.train(
+                    iterations=iterations_after, lr=lr_after, lr_camera=0.0,
+                    save_imgs=True, save_ckpt=True, ckpt_name=save_name,
+                    lambda_rgb=lambda_rgb, lambda_depth=lambda_depth,
+                    lambda_var=lambda_var, lambda_still=lambda_still,
+                    lambda_scale=lambda_scale, lambda_flow=lambda_flow,
+                    densify_times=densify_times_after,
+                    densify_interval=densify_interval_after,
+                    mask=occ_mask, move_mask=mm,
+                    densify_occ_percent=densify_occ_percent,
+                    densify_err_thre=densify_err_thre,
+                    densify_err_percent=densify_err_percent,
+                )
+        telemetry.count_frame(iterations_camera * int(camera_first)
+                              + iterations_after)
 
         sc = np.asarray(trainer.get_attribute("scale"))
         print_color(
@@ -230,7 +240,11 @@ def main(
                          occulasions=occl[:, :, -len(closest_move):],
                          filename="sequence_traj_vis_move")
 
+    telemetry.dump(os.path.join(trainer.dir, "telemetry.json"))
     print_color(f"Total time: {total_min:.2f} mins", color="green")
+    print_color(
+        f"telemetry: {telemetry.summary()['sec_per_frame']}s/frame, "
+        f"{telemetry.summary()['opt_steps_per_sec']} steps/s", color="cyan")
     return trainer
 
 

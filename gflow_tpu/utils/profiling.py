@@ -1,0 +1,68 @@
+"""Tracing / telemetry (SURVEY §5: the reference has only wall-clock prints
+and tqdm postfixes — fit_video.py:105,352-355, trainer.py:556-558; here we
+provide real instrumentation).
+
+- `phase(name)`: context manager accumulating wall-clock per pipeline phase,
+- `Telemetry`: per-frame sec/frame + optimizer steps/sec counters (the
+  BASELINE.md north-star metrics), dumped as JSON,
+- `trace(logdir)`: wraps jax.profiler for TPU timeline captures viewable in
+  TensorBoard/XProf.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+
+
+class Telemetry:
+    def __init__(self):
+        self.phase_seconds = defaultdict(float)
+        self.phase_calls = defaultdict(int)
+        self.frames = 0
+        self.opt_steps = 0
+        self._t0 = time.time()
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t = time.time()
+        try:
+            yield
+        finally:
+            dt = time.time() - t
+            self.phase_seconds[name] += dt
+            self.phase_calls[name] += 1
+
+    def count_frame(self, opt_steps: int):
+        self.frames += 1
+        self.opt_steps += opt_steps
+
+    def summary(self) -> dict:
+        total = time.time() - self._t0
+        return {
+            "total_sec": round(total, 3),
+            "frames": self.frames,
+            "sec_per_frame": round(total / max(self.frames, 1), 3),
+            "opt_steps_per_sec": round(self.opt_steps / max(total, 1e-9), 2),
+            "phases": {
+                k: {"sec": round(v, 3), "calls": self.phase_calls[k]}
+                for k, v in sorted(self.phase_seconds.items())
+            },
+        }
+
+    def dump(self, path: str):
+        with open(path, "w") as f:
+            json.dump(self.summary(), f, indent=2)
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a JAX/XLA profiler trace (TPU timeline) into `logdir`."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
