@@ -96,15 +96,30 @@ def bin_gaussians(
     )
     tile = jnp.where(valid, tile, T)  # sentinel = T (out of range)
 
-    tile_flat = tile.reshape(-1)
-    depth_flat = jnp.broadcast_to(depth[:, 0:1], (N, M)).reshape(-1)
+    # pack (tile, depth) into ONE int32 sort key: tile in the high bits, the
+    # top bits of the positive-float depth below (positive IEEE floats are
+    # order-isomorphic to their bit patterns). A single-key 2-operand int32
+    # sort is ~2x the 2-key 3-operand form on TPU (int64 keys are ~2x
+    # SLOWER — no native i64 lanes); the ~1e-4 relative depth quantization
+    # only permutes near-equal-depth splats.
+    tile_bits = max((T + 1).bit_length(), 1)
+    depth_nbits = 31 - tile_bits
+    if depth_nbits < 12:
+        raise ValueError(f"too many tiles ({T}) for int32 packed sort keys")
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depth[:, 0], 0.0), jnp.int32
+    ) >> (31 - depth_nbits)  # monotone for depth >= 0
+    key = (tile << depth_nbits) | jnp.broadcast_to(
+        depth_bits[:, None], (N, M)
+    )
+    key_flat = key.reshape(-1)
     idx_flat = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None], (N, M)
     ).reshape(-1)
 
-    tile_s, _, idx_s = jax.lax.sort(
-        (tile_flat, depth_flat, idx_flat), num_keys=2, is_stable=False
-    )
+    key_s, idx_s = jax.lax.sort((key_flat, idx_flat), num_keys=1,
+                                is_stable=False)
+    tile_s = key_s >> depth_nbits
 
     # segment starts per tile via binary search over the sorted stream, then
     # a dense (T, K) gather — far cheaper on TPU than scattering L entries

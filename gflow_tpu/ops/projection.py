@@ -33,14 +33,35 @@ _HI = jax.lax.Precision.HIGHEST
 
 def compute_cov3d(scale: jax.Array, rotate_wxyz: jax.Array) -> jax.Array:
     """(N,3) scales + (N,4) wxyz quats -> (N,6) upper-triangular 3D covariance
-    [xx, xy, xz, yy, yz, zz]."""
-    R = quat_wxyz_to_rotmat(rotate_wxyz)  # (N, 3, 3)
-    M = R * scale[:, None, :]  # columns scaled: R @ diag(s)
-    cov = jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=_HI)  # (N, 3, 3)
-    return jnp.stack(
-        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
-        axis=-1,
+    [xx, xy, xz, yy, yz, zz].
+
+    Fully elementwise (no batched 3x3 matmuls — XLA lowers tiny batched
+    matmuls to scalar loops on TPU, measured ~10x slower than this form)."""
+    q = rotate_wxyz / jnp.maximum(
+        jnp.linalg.norm(rotate_wxyz, axis=-1, keepdims=True), 1e-12
     )
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rotation matrix entries
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - z * w)
+    r02 = 2 * (x * z + y * w)
+    r10 = 2 * (x * y + z * w)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - x * w)
+    r20 = 2 * (x * z - y * w)
+    r21 = 2 * (y * z + x * w)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = scale[:, 0] ** 2
+    s1 = scale[:, 1] ** 2
+    s2 = scale[:, 2] ** 2
+    # cov = R diag(s^2) R^T
+    c_xx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    c_xy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    c_xz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    c_yy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    c_yz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    c_zz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return jnp.stack([c_xx, c_xy, c_xz, c_yy, c_yz, c_zz], axis=-1)
 
 
 def supported_max_radius(max_tiles_per_gaussian: int) -> float:
@@ -75,7 +96,17 @@ def project_gaussians(
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
     Rw2c = extr[:3, :3]
     t = extr[:3, 3]
-    cam = jnp.matmul(xyz, Rw2c.T, precision=_HI) + t  # (N, 3)
+    # elementwise world->camera (a (N,3)x(3,3) matmul at HIGHEST precision
+    # lowers poorly on TPU; this form is exact f32 and fuses)
+    X, Y, Z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    cam = jnp.stack(
+        [
+            Rw2c[0, 0] * X + Rw2c[0, 1] * Y + Rw2c[0, 2] * Z + t[0],
+            Rw2c[1, 0] * X + Rw2c[1, 1] * Y + Rw2c[1, 2] * Z + t[1],
+            Rw2c[2, 0] * X + Rw2c[2, 1] * Y + Rw2c[2, 2] * Z + t[2],
+        ],
+        axis=-1,
+    )
     z = cam[:, 2]
     visible = z > NEAR_PLANE
     safe_z = jnp.where(visible, z, 1.0)
