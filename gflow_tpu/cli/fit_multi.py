@@ -1,0 +1,7 @@
+"""CLI: python -m gflow_tpu.cli.fit_multi --path <dataset_root>
+(scene-parallel dataset fitting; one sequence per device)."""
+from ..parallel.scene_sweep import main
+from ..utils.cli import run_cli
+
+if __name__ == "__main__":
+    run_cli(main, prog="fit_multi")

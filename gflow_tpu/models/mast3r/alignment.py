@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.camera import pose_to_extr
 from ...eval.camera_eval import umeyama_alignment
 
 
@@ -76,10 +75,6 @@ def _edge_relative_pose(pts_j_in_i, pts_j_self, conf, n_sample=4096, rng=None):
     dst = pts_j_in_i.reshape(-1, 3)[flat]
     s, R, t = umeyama_alignment(src, dst, with_scale=True)
     return s, R, t
-
-
-def _quat_mul_pose(poses_c2w):
-    return poses_c2w
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))

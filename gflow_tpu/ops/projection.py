@@ -20,7 +20,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.camera import quat_wxyz_to_rotmat
 
 NEAR_PLANE = 0.01
 DILATION = 0.3

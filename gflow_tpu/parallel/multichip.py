@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.camera import pose_to_extr
 from ..opt.losses import compute_losses
-from ..opt.state import Params, adam_update, init_opt_state
+from ..opt.state import Params, adam_update, init_opt_state  # noqa: F401 (init_opt_state used by dryrun)
 from ..opt.train import StageConfig, StageDynamics, _activate, _gate_grads
 from ..ops.binning import bin_gaussians, tile_grid
 from ..ops.projection import project_gaussians, supported_max_radius, TILE
@@ -134,8 +134,6 @@ def sharded_train_step(mesh: Mesh, cfg: StageConfig, dyn: StageDynamics):
     """Returns a jitted one-step training function over a frame batch with
     real data+tile shardings. Inputs: batched Params/FrameState/Targets
     (leading axis B divisible by the 'data' axis), shared intr."""
-    from .mesh import tile_sharded_composite_constraint
-
     constrain = _flat_tile_constraint(mesh)
 
     def data_shard(tree):

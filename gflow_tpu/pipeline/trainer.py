@@ -332,11 +332,7 @@ class GFlowTrainer:
                     self.propagate_seg = (hull.mask(self.W, self.H) * 255).astype(np.uint8)
 
         # ---- diagnostic renders + still/move decomposition (trainer.py:627-697)
-        last_rgb = render2img(info["rgb"])
-        if save_imgs or True:
-            out["last_rgb"] = last_rgb
-        if has_last or not camera_only:
-            pass
+        out["last_rgb"] = render2img(info["rgb"])
         if save_imgs and self.dir:
             self._save_stage_images(info, ckpt_name, out)
         if save_videos and self.dir and out["frames"]:

@@ -1,0 +1,130 @@
+"""IO, CLI-builder, video-muxer, and viewer coverage."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from gflow_tpu.core import io as gio
+from gflow_tpu.utils.cli import build_parser
+
+
+def test_flo_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    flow = rng.normal(0, 3, (24, 32, 2)).astype(np.float32)
+    p = tmp_path / "a.flo"
+    gio.write_flow(p, flow)
+    back = gio.read_flow(p)
+    np.testing.assert_array_equal(back, flow)
+
+
+def test_flo_rejects_bad_magic(tmp_path):
+    p = tmp_path / "bad.flo"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        gio.read_flow(p)
+
+
+def test_read_depth_scale_offset(tmp_path):
+    d = np.linspace(1, 2, 12).reshape(3, 4).astype(np.float32)
+    p = tmp_path / "d.npy"
+    np.save(p, d)
+    out = gio.read_depth(p, depth_scale=2.0, depth_offset=0.5)
+    np.testing.assert_allclose(out, d * 2 + 0.5, rtol=1e-6)
+
+
+def test_read_mask_variants(tmp_path):
+    import imageio.v2 as imageio
+
+    m = np.zeros((10, 12), np.uint8)
+    m[2:5, 3:7] = 255
+    p = tmp_path / "m.png"
+    imageio.imwrite(p, m)
+    out = gio.read_mask(p)
+    assert out.dtype == bool and out.sum() == 3 * 4
+    # rgb mask
+    p3 = tmp_path / "m3.png"
+    imageio.imwrite(p3, np.repeat(m[..., None], 3, -1))
+    out3 = gio.read_mask(p3)
+    np.testing.assert_array_equal(out3, out)
+
+
+def test_resize_shorter_side():
+    img = np.zeros((100, 200, 3), np.float32)
+    out = gio.resize_image(img, 50)
+    assert out.shape == (50, 100, 3)
+    out2 = gio.resize_image(np.zeros((200, 100), np.float32), 50)
+    assert out2.shape == (100, 50)
+
+
+def test_camera_json_roundtrip(tmp_path):
+    pose = np.eye(4)
+    pose[:3, 3] = [1, 2, 3]
+    p = tmp_path / "0.json"
+    gio.write_camera(p, focal=321.5, pose_w2c_4x4=pose, pp=(30, 20))
+    focal, pp, poses = gio.read_camera([p])
+    assert focal == 321.5 and pp == [30, 20]
+    np.testing.assert_allclose(poses[0], pose[:3], atol=1e-12)
+
+
+def test_cli_builder_types():
+    def f(a: int = 1, b: float = 0.5, c: str = "x", flag: bool = False,
+          maybe: int = None):
+        return a, b, c, flag, maybe
+
+    parser = build_parser(f)
+    args = parser.parse_args(
+        ["--a", "3", "--b", "1.5", "--c", "y", "--flag", "--maybe", "7"]
+    )
+    assert (args.a, args.b, args.c, args.flag, args.maybe) == (3, 1.5, "y", True, 7)
+    args2 = parser.parse_args(["--no-flag"])
+    assert args2.flag is False and args2.a == 1
+
+
+def test_mjpeg_avi_structure(tmp_path):
+    from gflow_tpu.viz.mjpeg_avi import write_mjpeg_avi
+
+    frames = [np.full((32, 48, 3), i * 40, np.uint8) for i in range(4)]
+    p = tmp_path / "v.avi"
+    write_mjpeg_avi(p, frames, fps=5)
+    data = p.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    movi = data.find(b"movi")
+    assert movi > 0
+    # 4 frame chunks + 4 idx1 entries
+    assert data.count(b"00dc", movi) == 8
+    n_frames = struct.unpack("<I", data[data.find(b"avih") + 8 + 16 :][:4])[0]
+    assert n_frames == 4
+    # embedded JPEG decodes
+    import io as _io
+
+    from PIL import Image
+
+    j = data.find(b"00dc", movi)
+    size = struct.unpack("<I", data[j + 4 : j + 8])[0]
+    img = Image.open(_io.BytesIO(data[j + 8 : j + 8 + size]))
+    img.load()
+    assert img.size == (48, 32)
+
+
+def test_viewer_state_and_render(tmp_path):
+    import jax.numpy as jnp
+
+    from gflow_tpu.pipeline.trainer import GFlowTrainer
+    from gflow_tpu.viz.viewer import ViewerState
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)
+    depth = np.full((32, 48), 2.0, np.float32)
+    t = GFlowTrainer(gt_image=img, gt_depth=depth, num_points=100,
+                     logs_suffix=str(tmp_path / "logs"))
+    t.init_gaussians_from_image()
+    t.save_checkpoint("00000")
+    t.save_checkpoint("00001")
+
+    vs = ViewerState(t.dir)
+    assert len(vs.frames) == 2
+    jpeg = vs.render(0, 0.0, 0.0, 0.0, follow=True)
+    assert jpeg[:2] == b"\xff\xd8"  # JPEG SOI
+    jpeg2 = vs.render(1, 0.4, 0.1, -0.1, follow=False)  # orbit path
+    assert jpeg2[:2] == b"\xff\xd8"
