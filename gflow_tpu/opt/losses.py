@@ -133,8 +133,13 @@ def compute_losses(
     camera_only: bool,
     W: int,
     H: int,
+    flow_prior=None,
 ):
-    """Returns (total_loss, metrics dict, loss_rgb_pixel (H, W))."""
+    """Returns (total_loss, metrics dict, loss_rgb_pixel (H, W)).
+
+    flow_prior: optional precomputed (gt_flow_pts (C,2), and_mask (C,)) —
+    both depend only on last_uv/targets, constant across a stage's
+    iterations, so callers hoist the (C,)-sized gathers out of the loop."""
     C = uv.shape[0]
     slot = jnp.arange(C)
     alive = slot < state.n_alive
@@ -208,16 +213,12 @@ def compute_losses(
 
     # ---- flow: local flow consistency (trainer.py:511-530) ----
     lu = state.last_uv
-    and_mask = (
-        (lu[:, 0] > 0) & (lu[:, 0] < W - 1) & (lu[:, 1] > 0) & (lu[:, 1] < H - 1)
-    ) & in_prev
-    if camera_only:
-        and_mask = and_mask & state.still_mask
+    if flow_prior is not None:
+        gt_flow_pts, and_mask = flow_prior
     else:
-        and_mask = and_mask & ~state.still_mask
-    xi = jnp.clip(lu[:, 0].astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(lu[:, 1].astype(jnp.int32), 0, H - 1)
-    gt_flow_pts = targets.flow[yi, xi]  # (C, 2)
+        gt_flow_pts, and_mask = flow_prior_terms(
+            state, targets, camera_only, W, H
+        )
     pred_flow = uv - lu
     flow_err = jnp.mean((pred_flow - gt_flow_pts) ** 2, axis=1)
     loss_flow = masked_mean(flow_err, and_mask)
@@ -227,3 +228,21 @@ def compute_losses(
 
     metrics["total"] = total
     return total, metrics, loss_rgb_pixel
+
+
+def flow_prior_terms(state, targets, camera_only: bool, W: int, H: int):
+    """The flow loss's per-stage constants: gt flow sampled at last_uv and
+    the participation mask (trainer.py:511-525)."""
+    C = state.last_uv.shape[0]
+    in_prev = jnp.arange(C) < state.last_num
+    lu = state.last_uv
+    and_mask = (
+        (lu[:, 0] > 0) & (lu[:, 0] < W - 1) & (lu[:, 1] > 0) & (lu[:, 1] < H - 1)
+    ) & in_prev
+    if camera_only:
+        and_mask = and_mask & state.still_mask
+    else:
+        and_mask = and_mask & ~state.still_mask
+    xi = jnp.clip(lu[:, 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(lu[:, 1].astype(jnp.int32), 0, H - 1)
+    return targets.flow[yi, xi], and_mask

@@ -34,7 +34,7 @@ from ..ops.composite import composite_tiles
 from ..ops.render import _get_compositor
 from ..ops.projection import project_gaussians, supported_max_radius
 from ..ops.render import RenderConfig, DEFAULT_CONFIG
-from .losses import LossWeights, compute_losses
+from .losses import LossWeights, compute_losses, flow_prior_terms
 from .state import FrameState, OptState, Params, adam_update, init_opt_state
 from .densify import densify_by_pixels, reset_opt_after_densify
 
@@ -93,7 +93,7 @@ def _activate(params: Params, n_alive):
 
 
 def _forward(params: Params, n_alive, state: FrameState, targets, intr,
-             weights: LossWeights, cfg: StageConfig):
+             weights: LossWeights, cfg: StageConfig, flow_prior=None):
     """Render + losses. Returns (total, aux)."""
     extr = pose_to_extr(params.pose)
     scale, rotate, opacity, rgb = _activate(params, n_alive)
@@ -140,7 +140,7 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
     total, metrics, loss_rgb_pixel = compute_losses(
         rendered_rgb, rendered_depth, uv, depth, scale, params.xyz,
         params.depth_ab, targets._replace(move_mask=move_mask), state_n,
-        weights, cfg.camera_only, cfg.W, cfg.H,
+        weights, cfg.camera_only, cfg.W, cfg.H, flow_prior=flow_prior,
     )
     aux = {
         "uv": uv,
@@ -246,23 +246,35 @@ def train_stage(params: Params, state: FrameState, targets, intr,
     n_alive0 = state.n_alive
     C = params.capacity
 
+    # In the fast path the carry holds only small per-point aux; carrying the
+    # full-resolution render through the fori_loop costs ~3ms/iteration in
+    # dynamic-update-slice + copy (profiled). The final images are recomputed
+    # once after the loop (from post-final-update params — one extra forward
+    # per stage, amortized over hundreds of iterations).
+    lean = cfg.snapshot_every <= 0
+    # the flow loss's gathers/masks depend only on last_uv (fixed per stage)
+    flow_prior = flow_prior_terms(state, targets, cfg.camera_only, cfg.W, cfg.H)
     dummy_aux = {
         "uv": jnp.zeros((C, 2)),
         "depth": jnp.zeros((C, 1)),
-        "rgb": jnp.zeros((cfg.H, cfg.W, 3)),
-        "depth_map": jnp.zeros((cfg.H, cfg.W, 1)),
-        "loss_rgb_pixel": jnp.zeros((cfg.H, cfg.W)),
         "metrics": {
             k: jnp.asarray(0.0)
             for k in ("rgb", "depth", "var", "scale", "still", "flow", "total")
         },
     }
+    if not lean:
+        dummy_aux.update(
+            rgb=jnp.zeros((cfg.H, cfg.W, 3)),
+            depth_map=jnp.zeros((cfg.H, cfg.W, 1)),
+            loss_rgb_pixel=jnp.zeros((cfg.H, cfg.W)),
+        )
 
     def one_iter(i, carry):
         params, opt_state, n_alive, key, _ = carry
 
         def loss_fn(p):
-            return _forward(p, n_alive, state, targets, intr, dyn.weights, cfg)
+            return _forward(p, n_alive, state, targets, intr, dyn.weights,
+                            cfg, flow_prior=flow_prior)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = _gate_grads(grads, state, n_alive, cfg.camera_only)
@@ -318,6 +330,8 @@ def train_stage(params: Params, state: FrameState, targets, intr,
                 (params, opt_state, n_alive),
             )
 
+        if lean:
+            aux = {k: aux[k] for k in ("uv", "depth", "metrics")}
         return params, opt_state, n_alive, key, aux
 
     init_carry = (params, opt_state, n_alive0, key, dummy_aux)
@@ -356,6 +370,12 @@ def train_stage(params: Params, state: FrameState, targets, intr,
             chunk, init_carry, jnp.arange(n_chunks, dtype=jnp.int32)
         )
         params, opt_state, n_alive, key, aux = carry
+
+    if lean:
+        # one final forward (no grad) for the stage's output render + uv
+        _, aux_full = _forward(params, n_alive, state, targets, intr,
+                               dyn.weights, cfg, flow_prior=flow_prior)
+        aux = {**aux_full, "metrics": aux["metrics"]}
 
     if not cfg.camera_only:
         state = finalize_stage(
