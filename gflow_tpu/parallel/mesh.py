@@ -21,9 +21,14 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, data_parallel: int | None = None):
-    """Build a ('data', 'tile') mesh over the first n_devices devices."""
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, data_parallel: int | None = None,
+              platform: str | None = None):
+    """Build a ('data', 'tile') mesh over the first n_devices devices.
+
+    platform: restrict to devices of this backend (e.g. "cpu" for the
+    virtual-device dryrun/test path — the bench host also has a TPU backend
+    registered, and `jax.devices()` would initialize it)."""
+    devs = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
