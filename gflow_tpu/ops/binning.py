@@ -121,17 +121,102 @@ def bin_gaussians(
                                 is_stable=False)
     tile_s = key_s >> depth_nbits
 
-    # segment starts per tile via binary search over the sorted stream, then
-    # a dense (T, K) gather — far cheaper on TPU than scattering L entries
+    # segment starts per tile via binary search over the sorted stream
     L = tile_s.shape[0]
     starts = jnp.searchsorted(
         tile_s, jnp.arange(T + 1, dtype=tile_s.dtype), side="left"
     ).astype(jnp.int32)  # (T+1,); starts[T] = first sentinel position
-    k = jnp.arange(K, dtype=jnp.int32)
-    pos = starts[:T, None] + k[None, :]           # (T, K)
-    in_seg = pos < starts[1:, None]
-    pos = jnp.minimum(pos, L - 1)
-    tile_lists = jnp.where(in_seg, idx_s[pos], -1)
     tile_counts = starts[1:] - starts[:T]
 
+    tile_lists = _pack_tile_lists(idx_s, starts[:T], tile_counts, K, L)
+
     return TileBins(tile_lists=tile_lists, tile_counts=tile_counts)
+
+
+def _pack_tile_lists(idx_s, starts, tile_counts, K: int, L: int):
+    """Extract tile_lists[t] = idx_s[starts[t] : starts[t]+K] (masked to the
+    tile's count, -1 beyond).
+
+    On TPU the naive element gather idx_s[starts[:,None]+arange(K)] costs
+    ~7 cycles per ELEMENT (measured 1.5 ms at T*K=207k); instead we gather
+    whole 128-lane ROWS covering each tile's window (descriptor cost is per
+    row: ~50x cheaper) and lane-rotate each window into place with a tiny
+    Pallas kernel (tpu.dynamic_rotate). Elsewhere the plain gather is fine.
+    """
+    T = starts.shape[0]
+    if jax.default_backend() != "tpu" or L % _ROW != 0:
+        k = jnp.arange(K, dtype=jnp.int32)
+        pos = starts[:, None] + k[None, :]
+        in_seg = pos < (starts + tile_counts)[:, None]
+        pos = jnp.minimum(pos, L - 1)
+        return jnp.where(in_seg, idx_s[pos], -1)
+
+    n_rows = L // _ROW
+    NR = K // _ROW + 1  # rows spanned by a K-window at arbitrary offset
+    idx2d = idx_s.reshape(n_rows, _ROW)
+    r0 = starts >> _ROW_BITS
+    rows = jnp.minimum(
+        r0[:, None] + jnp.arange(NR, dtype=jnp.int32)[None, :], n_rows - 1
+    )
+    wins = idx2d[rows].reshape(T, NR * _ROW)  # (T, NR*128) row gather
+    rot = starts & (_ROW - 1)
+    cnt = jnp.minimum(tile_counts, K)
+    return _rotate_pack(wins, rot, cnt, K)
+
+
+_ROW = 128
+_ROW_BITS = 7
+_PACK_GROUP = 8
+
+
+def _rotate_pack(wins, rot, cnt, K: int):
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, WR = wins.shape
+    T_pad = -(-T // _PACK_GROUP) * _PACK_GROUP
+    if T_pad != T:
+        pad = T_pad - T
+        wins = jnp.concatenate([wins, jnp.zeros((pad, WR), wins.dtype)], 0)
+        rot = jnp.concatenate([rot, jnp.zeros((pad,), rot.dtype)], 0)
+        cnt = jnp.concatenate([cnt, jnp.zeros((pad,), cnt.dtype)], 0)
+
+    # SMEM blocks must cover whole dims; pass rot/cnt unblocked (tiny) and
+    # index rows by program_id inside the kernel
+    rot2 = rot.reshape(T_pad // _PACK_GROUP, _PACK_GROUP)
+    cnt2 = cnt.reshape(T_pad // _PACK_GROUP, _PACK_GROUP)
+    G = T_pad // _PACK_GROUP
+    out = pl.pallas_call(
+        functools.partial(_rotate_pack_kernel, K=K),
+        grid=(T_pad // _PACK_GROUP,),
+        in_specs=[
+            pl.BlockSpec((G, _PACK_GROUP), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, _PACK_GROUP), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_PACK_GROUP, WR), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_PACK_GROUP, K), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, K), jnp.int32),
+    )(rot2, cnt2, wins)
+    return out[:T]
+
+
+def _rotate_pack_kernel(rot_ref, cnt_ref, win_ref, out_ref, *, K: int):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jax.experimental import pallas as pl
+
+    WR = win_ref.shape[1]
+    pid = pl.program_id(0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    for g in range(_PACK_GROUP):
+        # out[j] = win[rot + j]  ==  circular-left-rotate by rot
+        rolled = pltpu.roll(win_ref[g:g + 1], WR - rot_ref[pid, g], axis=1)
+        out_ref[g:g + 1] = jnp.where(k_iota < cnt_ref[pid, g],
+                                     rolled[:, :K], -1)

@@ -4,7 +4,7 @@ Replaces the XLA-composed compositor (ops/composite.py) on the hot path.
 Per 16x16 tile, with K depth-sorted candidates in VMEM:
 
     forward:  alpha_k[p] = min(.99, op_k exp(power_k[p]))  (masked)
-              T_k = prod_{j<k} (1-alpha_j) = exp(excl-cumsum(log(1-alpha)))
+              T_k = prod_{j<k} (1-alpha_j)   (exclusive cumprod)
               out[p] = (alpha*T)^T feat + T_final bg
 
     backward: the standard 3DGS suffix-sum trick:
@@ -12,15 +12,23 @@ Per 16x16 tile, with K depth-sorted candidates in VMEM:
               dalpha = T_k fg_k - (S_k + T_final (bg.g)) / (1-alpha_k),
               then chain to opacity / uv / conic; dfeat = w @ g.
 
-The cumulative sums run as Hillis-Steele log-shift passes (pltpu.roll) —
-exact fp32 on the VPU; Mosaic has no native cumprod and a full-precision
-(K,K)x(K,P) triangular matmul on the MXU measured no faster.
+The exclusive cumulative prod/sum run as Hillis-Steele log-shift passes
+(pltpu.roll) directly in the product domain — no log1p/exp transcendentals
+(measured on par with the log-space form; kept for the simpler backward).
+Rejected variants, measured at canonical scale (854x480, K=128): a
+(K,K)x(K,P) triangular matmul on the MXU — no faster; depth-slab
+early-termination (the CUDA 3DGS trick) — 1.6-2.8x SLOWER in every count
+regime, per-slab branch + scratch read/modify/write overhead exceeds the
+skipped work on this VPU. Cumprod underflow to 0 for deep stacks is
+exactly the saturated-transmittance regime and is harmless in both
+directions (w=0, and the backward divides by 1-alpha, not T).
 
 Each grid step processes TILE_GROUP tiles (statically unrolled) to amortize
-per-step fixed costs. All per-Gaussian inputs are packed into ONE
-(T, K, 6+F) array: a single wide row-gather outside the kernel is ~2x
-cheaper than four narrow ones, and its autodiff transpose — the scatter-add
-of Gaussian gradients — becomes a single scatter.
+per-step fixed costs; fully-empty tiles (tile_counts == 0 — background
+regions) skip all math via a scalar predicate. All per-Gaussian inputs are
+packed into ONE (T, K, 6+F) array: a single wide row-gather outside the
+kernel is ~2x cheaper than four narrow ones, and its autodiff transpose —
+the scatter-add of Gaussian gradients — becomes a single scatter.
 
 Equivalent CUDA surface: msplat.alpha_blending fwd/bwd
 (call site gflow/utils/render.py:56-106).
@@ -72,9 +80,22 @@ def _alpha(uv, conic, op, tx0, ty0):
     return alpha, raw, dmask, dx, dy
 
 
+def _cumprod_excl(x):
+    """Exclusive cumulative product along axis 0 of (K, P): Hillis-Steele
+    log-shift passes on the VPU (factors in [0.01, 1]; graceful underflow
+    to 0 == fully saturated transmittance)."""
+    K = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    e = jnp.where(row >= 1, pltpu.roll(x, 1, axis=0), 1.0)
+    s = 1
+    while s < K:
+        e = e * jnp.where(row >= s + 1, pltpu.roll(e, s, axis=0), 1.0)
+        s *= 2
+    return e
+
+
 def _cumsum_excl(x):
-    """Exclusive cumulative sum along axis 0 of (K, P): Hillis-Steele
-    log-shift passes — exact fp32 on the VPU."""
+    """Exclusive cumulative sum along axis 0 of (K, P)."""
     K = x.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     e = jnp.where(row >= 1, pltpu.roll(x, 1, axis=0), 0.0)
@@ -104,75 +125,91 @@ def _tile_origin(t, n_tx):
     return tx0, ty0
 
 
-def _fwd_kernel(attr_ref, bg_ref, out_ref, *, n_tx, F):
+def _fwd_kernel(cnt_ref, attr_ref, bg_ref, out_ref, *, n_tx, F):
     # attr layout along the last axis: uv(2) conic(3) opacity(1) feat(F)
     pid = pl.program_id(0)
     for g in range(TILE_GROUP):
         t = pid * TILE_GROUP + g
         tx0, ty0 = _tile_origin(t, n_tx)
-        attrs = attr_ref[g]
-        uv = attrs[:, 0:2]
-        conic = attrs[:, 2:5]
-        op = attrs[:, 5:6]
-        feat = attrs[:, 6:6 + F]
-        alpha, _, _, _, _ = _alpha(uv, conic, op, tx0, ty0)
-        log_om = jnp.log1p(-alpha)  # alpha <= .99 so finite
-        t_excl = jnp.exp(_cumsum_excl(log_om))
-        w = alpha * t_excl  # (K, P)
-        out = jnp.dot(w.T, feat, preferred_element_type=jnp.float32,
-                      precision=_HI)  # (P, F)
-        t_final = t_excl[-1:] * (1.0 - alpha[-1:])  # (1, P)
-        out_ref[g] = out + t_final.T * bg_ref[0][None, :]
+        count = cnt_ref[pid, g]
+
+        @pl.when(count > 0)
+        def _(g=g, tx0=tx0, ty0=ty0):
+            attrs = attr_ref[g]
+            uv = attrs[:, 0:2]
+            conic = attrs[:, 2:5]
+            op = attrs[:, 5:6]
+            feat = attrs[:, 6:6 + F]
+            alpha, _, _, _, _ = _alpha(uv, conic, op, tx0, ty0)
+            t_excl = _cumprod_excl(1.0 - alpha)
+            w = alpha * t_excl  # (K, P)
+            out = jnp.dot(w.T, feat, preferred_element_type=jnp.float32,
+                          precision=_HI)  # (P, F)
+            t_final = t_excl[-1:] * (1.0 - alpha[-1:])  # (1, P)
+            out_ref[g] = out + t_final.T * bg_ref[0][None, :]
+
+        @pl.when(count <= 0)
+        def _(g=g):
+            out_ref[g] = jnp.broadcast_to(bg_ref[0][None, :], (P_PIX, F))
 
 
-def _bwd_kernel(attr_ref, bg_ref, g_ref, dattr_ref, *, n_tx, F):
+def _bwd_kernel(cnt_ref, attr_ref, bg_ref, g_ref, dattr_ref, *, n_tx, F):
     pid = pl.program_id(0)
+    K = attr_ref.shape[1]
+    CA = 6 + F
     bg = bg_ref[0]  # (F,)
     for g_i in range(TILE_GROUP):
         t = pid * TILE_GROUP + g_i
         tx0, ty0 = _tile_origin(t, n_tx)
-        attrs = attr_ref[g_i]
-        uv = attrs[:, 0:2]
-        conic = attrs[:, 2:5]
-        op = attrs[:, 5:6]
-        feat = attrs[:, 6:6 + F]
-        g = g_ref[g_i]  # (P, F)
+        count = cnt_ref[pid, g_i]
 
-        alpha, raw, dmask, dx, dy = _alpha(uv, conic, op, tx0, ty0)
-        om = 1.0 - alpha
-        log_om = jnp.log1p(-alpha)
-        t_excl = jnp.exp(_cumsum_excl(log_om))
-        w = alpha * t_excl
-        t_final = t_excl[-1:] * om[-1:]  # (1, P)
+        @pl.when(count > 0)
+        def _(g_i=g_i, tx0=tx0, ty0=ty0):
+            attrs = attr_ref[g_i]
+            uv = attrs[:, 0:2]
+            conic = attrs[:, 2:5]
+            op = attrs[:, 5:6]
+            feat = attrs[:, 6:6 + F]
+            g = g_ref[g_i]  # (P, F)
 
-        fg = jnp.dot(feat, g.T, preferred_element_type=jnp.float32,
-                     precision=_HI)  # (K, P)
-        bgg = jnp.dot(g, bg[:, None], preferred_element_type=jnp.float32,
-                      precision=_HI).T  # (1, P)
+            alpha, raw, dmask, dx, dy = _alpha(uv, conic, op, tx0, ty0)
+            om = 1.0 - alpha
+            t_excl = _cumprod_excl(om)
+            w = alpha * t_excl
+            t_final = t_excl[-1:] * om[-1:]  # (1, P)
 
-        S = _cumsum_suffix_excl(w * fg)  # S[k] = sum_{j > k} w_j fg_j
-        dalpha = t_excl * fg - (S + t_final * bgg) / om
-        d_raw = jnp.where(dmask, dalpha, 0.0)  # d alpha / d raw gate
+            fg = jnp.dot(feat, g.T, preferred_element_type=jnp.float32,
+                         precision=_HI)  # (K, P)
+            bgg = jnp.dot(g, bg[:, None], preferred_element_type=jnp.float32,
+                          precision=_HI).T  # (1, P)
 
-        # raw = op * exp(power)
-        dpower = d_raw * raw
-        exp_p = jnp.where(op > 0, raw / jnp.maximum(op, 1e-20), 0.0)
-        dop = jnp.sum(d_raw * exp_p, axis=1, keepdims=True)
+            S = _cumsum_suffix_excl(w * fg)  # S[k] = sum_{j > k} w_j fg_j
+            dalpha = t_excl * fg - (S + t_final * bgg) / om
+            d_raw = jnp.where(dmask, dalpha, 0.0)  # d alpha / d raw gate
 
-        a = conic[:, 0:1]
-        b = conic[:, 1:2]
-        c = conic[:, 2:3]
-        # power = -0.5 (a dx^2 + c dy^2) - b dx dy ; d dx/du = -1
-        du = jnp.sum(dpower * (a * dx + b * dy), axis=1)
-        dv = jnp.sum(dpower * (c * dy + b * dx), axis=1)
-        da = jnp.sum(dpower * (-0.5 * dx * dx), axis=1)
-        db = jnp.sum(dpower * (-dx * dy), axis=1)
-        dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=1)
-        dfeat = jnp.dot(w, g, preferred_element_type=jnp.float32,
-                        precision=_HI)  # (K, F)
-        dattr_ref[g_i] = jnp.concatenate(
-            [du[:, None], dv[:, None], da[:, None], db[:, None], dc[:, None],
-             dop, dfeat], axis=1)
+            # raw = op * exp(power)
+            dpower = d_raw * raw
+            exp_p = jnp.where(op > 0, raw / jnp.maximum(op, 1e-20), 0.0)
+            dop = jnp.sum(d_raw * exp_p, axis=1, keepdims=True)
+
+            a = conic[:, 0:1]
+            b = conic[:, 1:2]
+            c = conic[:, 2:3]
+            # power = -0.5 (a dx^2 + c dy^2) - b dx dy ; d dx/du = -1
+            du = jnp.sum(dpower * (a * dx + b * dy), axis=1)
+            dv = jnp.sum(dpower * (c * dy + b * dx), axis=1)
+            da = jnp.sum(dpower * (-0.5 * dx * dx), axis=1)
+            db = jnp.sum(dpower * (-dx * dy), axis=1)
+            dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=1)
+            dfeat = jnp.dot(w, g, preferred_element_type=jnp.float32,
+                            precision=_HI)  # (K, F)
+            dattr_ref[g_i] = jnp.concatenate(
+                [du[:, None], dv[:, None], da[:, None], db[:, None],
+                 dc[:, None], dop, dfeat], axis=1)
+
+        @pl.when(count <= 0)
+        def _(g_i=g_i):
+            dattr_ref[g_i] = jnp.zeros((K, CA), jnp.float32)
 
 
 def _block(K, C):
@@ -180,18 +217,25 @@ def _block(K, C):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _packed_composite(g_attrs, bg_vec, n_tx):
-    return _packed_fwd_call(g_attrs, bg_vec, n_tx)
+def _cnt_spec(G):
+    return pl.BlockSpec((G, TILE_GROUP), lambda t: (0, 0),
+                        memory_space=pltpu.SMEM)
 
 
-def _packed_fwd_call(g_attrs, bg_vec, n_tx):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _packed_composite(g_attrs, counts, bg_vec, n_tx):
+    return _packed_fwd_call(g_attrs, counts, bg_vec, n_tx)
+
+
+def _packed_fwd_call(g_attrs, counts, bg_vec, n_tx):
     T, K, CA = g_attrs.shape
     F = CA - 6
+    G = T // TILE_GROUP
     return pl.pallas_call(
         functools.partial(_fwd_kernel, n_tx=n_tx, F=F),
-        grid=(T // TILE_GROUP,),
+        grid=(G,),
         in_specs=[
+            _cnt_spec(G),
             _block(K, CA),
             pl.BlockSpec((1, F), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -201,22 +245,24 @@ def _packed_fwd_call(g_attrs, bg_vec, n_tx):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(g_attrs, bg_vec[None, :])
+    )(counts.reshape(G, TILE_GROUP), g_attrs, bg_vec[None, :])
 
 
-def _packed_fwd(g_attrs, bg_vec, n_tx):
-    out = _packed_fwd_call(g_attrs, bg_vec, n_tx)
-    return out, (g_attrs, bg_vec)
+def _packed_fwd(g_attrs, counts, bg_vec, n_tx):
+    out = _packed_fwd_call(g_attrs, counts, bg_vec, n_tx)
+    return out, (g_attrs, counts, bg_vec)
 
 
 def _packed_bwd(n_tx, res, g):
-    g_attrs, bg_vec = res
+    g_attrs, counts, bg_vec = res
     T, K, CA = g_attrs.shape
     F = CA - 6
+    G = T // TILE_GROUP
     dattrs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_tx=n_tx, F=F),
-        grid=(T // TILE_GROUP,),
+        grid=(G,),
         in_specs=[
+            _cnt_spec(G),
             _block(K, CA),
             pl.BlockSpec((1, F), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_GROUP, P_PIX, F), lambda t: (t, 0, 0),
@@ -227,21 +273,28 @@ def _packed_bwd(n_tx, res, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(g_attrs, bg_vec[None, :], g)
-    return dattrs, jnp.zeros_like(bg_vec)
+    )(counts.reshape(G, TILE_GROUP), g_attrs, bg_vec[None, :], g)
+    return dattrs, None, jnp.zeros_like(bg_vec)
 
 
 _packed_composite.defvjp(_packed_fwd, _packed_bwd)
 
 
 def composite_tiles_pallas(tile_lists, uv, conic, opacity, features, bg,
-                           W, H, n_tx, n_ty):
+                           W, H, n_tx, n_ty, tile_counts=None):
     """Drop-in replacement for ops.composite.composite_tiles (same semantics,
     Pallas-accelerated). Differentiable w.r.t. uv/conic/opacity/features via
-    the custom VJP + XLA's gather transpose."""
+    the custom VJP + XLA's gather transpose. tile_counts (uncapped per-tile
+    entry counts from binning) lets empty background tiles skip all math;
+    derived from tile_lists when not provided."""
     T, K = tile_lists.shape
     F = features.shape[1]
     bg_vec = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (F,))
+
+    if tile_counts is None:
+        counts = jnp.sum(tile_lists >= 0, axis=1).astype(jnp.int32)
+    else:
+        counts = jnp.minimum(tile_counts, K).astype(jnp.int32)
 
     # pad tile count to a TILE_GROUP multiple (padding tiles are empty; their
     # outputs are discarded by the [:T] crop below)
@@ -249,6 +302,9 @@ def composite_tiles_pallas(tile_lists, uv, conic, opacity, features, bg,
     if T_pad != T:
         tile_lists = jnp.concatenate(
             [tile_lists, jnp.full((T_pad - T, K), -1, tile_lists.dtype)], 0
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((T_pad - T,), counts.dtype)], 0
         )
 
     valid = tile_lists >= 0
@@ -258,7 +314,7 @@ def composite_tiles_pallas(tile_lists, uv, conic, opacity, features, bg,
     g_attrs = attrs[safe]
     g_attrs = g_attrs.at[..., 5:6].multiply(valid[..., None].astype(attrs.dtype))
 
-    out = _packed_composite(g_attrs, bg_vec, n_tx)[:T]
+    out = _packed_composite(g_attrs, counts, bg_vec, n_tx)[:T]
     img = (
         out.reshape(n_ty, n_tx, TILE, TILE, F)
         .transpose(0, 2, 1, 3, 4)

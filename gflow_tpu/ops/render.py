@@ -109,7 +109,7 @@ def render(
 
         img = compose(
             bins.tile_lists, uv, conic, opacity, jnp.concatenate(feats, axis=1),
-            bg, W, H, n_tx, n_ty,
+            bg, W, H, n_tx, n_ty, tile_counts=bins.tile_counts,
         )
         for name, (s, e) in slices.items():
             out[name] = img[..., s:e]
@@ -122,7 +122,7 @@ def render(
         center_op = jnp.where(depth > 0, 1.0, 0.0)
         out["center"] = compose(
             bins.tile_lists, uv, center_conic, center_op, rgb,
-            bg, W, H, n_tx, n_ty,
+            bg, W, H, n_tx, n_ty, tile_counts=bins.tile_counts,
         )
 
     return out
@@ -164,7 +164,8 @@ def render_traj(
     traj_conic = jnp.broadcast_to(ident, conic.shape) * scale_per_pt
     compose = _get_compositor(config)
     return compose(
-        bins.tile_lists, uv, traj_conic, opacity, rgb, bg, W, H, n_tx, n_ty
+        bins.tile_lists, uv, traj_conic, opacity, rgb, bg, W, H, n_tx, n_ty,
+        tile_counts=bins.tile_counts,
     )
 
 
@@ -178,14 +179,18 @@ def _get_compositor(config: RenderConfig):
     if resolve_backend(config) == "pallas":
         from .pallas_raster import composite_tiles_pallas
 
-        def compose(tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty):
+        def compose(tile_lists, uv, conic, opacity, features, bg, W, H,
+                    n_tx, n_ty, tile_counts=None):
             return composite_tiles_pallas(
-                tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty
+                tile_lists, uv, conic, opacity, features, bg, W, H,
+                n_tx, n_ty, tile_counts=tile_counts,
             )
 
         return compose
 
-    def compose(tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty):
+    def compose(tile_lists, uv, conic, opacity, features, bg, W, H,
+                n_tx, n_ty, tile_counts=None):
+        # the XLA fallback masks empty slots itself; counts are unused
         return composite_tiles(
             tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty,
             tile_chunk=config.tile_chunk,

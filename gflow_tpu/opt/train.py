@@ -112,7 +112,7 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
     feats = jnp.concatenate([rgb, depth], axis=1)  # fused rgb + depth pass
     img = compose(
         bins.tile_lists, uv, conic, opacity, feats, cfg.bg,
-        cfg.W, cfg.H, n_tx, n_ty,
+        cfg.W, cfg.H, n_tx, n_ty, tile_counts=bins.tile_counts,
     )
     rendered_rgb = img[..., :3]
     rendered_depth = img[..., 3:4]
@@ -132,7 +132,7 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
             jax.lax.stop_gradient(opacity) * mov,
             jnp.ones_like(depth),
             0.0,
-            cfg.W, cfg.H, n_tx, n_ty,
+            cfg.W, cfg.H, n_tx, n_ty, tile_counts=bins.tile_counts,
         )
         move_mask = move_mask | (cov[..., 0] > 0)
 

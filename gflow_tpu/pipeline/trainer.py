@@ -48,6 +48,14 @@ BACKGROUNDS = {"black": 0.0, "white": 1.0, "cyan": 0.33}  # "cyan" is grey 0.33
                                                           # (trainer.py:33-34)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_stage(cfg: StageConfig):
+    """Module-level jit cache keyed on the static StageConfig only — an
+    lru_cache on a *method* would key on (and pin alive) trainer instances
+    with their full parameter arrays."""
+    return jax.jit(functools.partial(train_stage, cfg=cfg))
+
+
 def _erode(mask_u8: np.ndarray, size: int = 20) -> np.ndarray:
     from scipy.ndimage import binary_erosion
 
@@ -217,9 +225,8 @@ class GFlowTrainer:
             occ_mask=jnp.asarray(om),
         )
 
-    @functools.lru_cache(maxsize=16)
     def _stage_fn(self, cfg: StageConfig):
-        return jax.jit(functools.partial(train_stage, cfg=cfg))
+        return _compiled_stage(cfg)
 
     def train(
         self,
@@ -461,6 +468,40 @@ class GFlowTrainer:
     # checkpoints (reference: trainer.py:252-288; npz instead of torch .tar)
     # ------------------------------------------------------------------
 
+    def _grow_capacity(self, new_capacity: int):
+        """Re-pad every capacity-shaped array (params attrs + frame state) to
+        a larger capacity. Triggers one recompile per new capacity."""
+        if new_capacity <= self.capacity:
+            return
+        old = self.capacity
+
+        def pad_arr(x, fill):
+            x = np.asarray(x)
+            out = np.full((new_capacity,) + x.shape[1:], fill, x.dtype)
+            out[:old] = x
+            return jnp.asarray(out)
+
+        self.params = self.params._replace(
+            xyz=pad_arr(self.params.xyz, 0.0),
+            scale=pad_arr(self.params.scale, 1e-8),
+            rotate=pad_arr(self.params.rotate, 0.5),
+            opacity=pad_arr(self.params.opacity, -10.0),
+            rgb=pad_arr(self.params.rgb, 0.0),
+        )
+        self.state = self.state._replace(
+            still_mask=pad_arr(self.state.still_mask, True),
+            still_mask_tentative=pad_arr(self.state.still_mask_tentative, True),
+            last_uv=pad_arr(self.state.last_uv, 0.0),
+            last_depth=pad_arr(self.state.last_depth, 0.0),
+            last_xyz=pad_arr(self.state.last_xyz, 0.0),
+        )
+        if self.mask_prompt_pts is not None:
+            self.mask_prompt_pts = np.concatenate(
+                [self.mask_prompt_pts,
+                 np.zeros(new_capacity - old, bool)]
+            )
+        self.capacity = new_capacity
+
     def save_checkpoint(self, ckpt_name="ckpt"):
         os.makedirs(os.path.join(self.dir, "ckpt"), exist_ok=True)
         path = os.path.join(self.dir, "ckpt", f"{ckpt_name}.npz")
@@ -485,6 +526,13 @@ class GFlowTrainer:
     def load_checkpoint(self, path, show=False):
         d = np.load(path, allow_pickle=False)
         n = d["xyz"].shape[0]
+        if n > self.capacity:
+            # Real runs (50k pts + densification) routinely exceed the shell
+            # trainer's default capacity (reference reloads into a fresh
+            # SimpleGaussian the same way: gflow/benchmark.py:75,96-97) —
+            # grow to the next power of two and rebuild capacity-shaped
+            # arrays before padding below.
+            self._grow_capacity(1 << int(np.ceil(np.log2(n))))
 
         def pad(x, fill=0.0):
             out = np.full((self.capacity,) + x.shape[1:], fill, np.float32)

@@ -128,3 +128,46 @@ def test_viewer_state_and_render(tmp_path):
     assert jpeg[:2] == b"\xff\xd8"  # JPEG SOI
     jpeg2 = vs.render(1, 0.4, 0.1, -0.1, follow=False)  # orbit path
     assert jpeg2[:2] == b"\xff\xd8"
+
+
+def test_load_checkpoint_grows_capacity(tmp_path):
+    """A shell trainer (small capacity, like eval_tracking's
+    GFlowTrainer(num_points=1000) — eval/benchmark.py) must load checkpoints
+    from real runs whose point count exceeds its capacity (reference reloads
+    into a fresh SimpleGaussian: gflow/benchmark.py:75,96-97)."""
+    import jax.numpy as jnp
+
+    from gflow_tpu.pipeline.trainer import GFlowTrainer
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)
+    depth = np.full((32, 48), 2.0, np.float32)
+
+    big = GFlowTrainer(gt_image=img, gt_depth=depth, num_points=3000,
+                       logs_suffix=str(tmp_path / "logs"))
+    big.init_gaussians_from_image()
+    assert int(big.state.n_alive) == 3000
+    big.save_checkpoint("00000")
+    ckpt = os.path.join(big.dir, "ckpt", "00000.npz")
+
+    shell = GFlowTrainer(gt_image=img, num_points=100, make_logs=False)
+    assert shell.capacity < 3000
+    shell.load_checkpoint(ckpt)
+    assert int(shell.state.n_alive) == 3000
+    assert shell.capacity >= 3000
+    # every capacity-shaped array resized consistently
+    for arr in (shell.params.xyz, shell.params.scale, shell.params.rotate,
+                shell.params.opacity, shell.params.rgb,
+                shell.state.still_mask, shell.state.still_mask_tentative,
+                shell.state.last_uv, shell.state.last_depth,
+                shell.state.last_xyz):
+        assert arr.shape[0] == shell.capacity
+    np.testing.assert_allclose(
+        np.asarray(shell.params.xyz[:3000]), np.asarray(big.params.xyz[:3000]),
+        rtol=1e-6)
+    # the tracking-eval consumers work at the grown size
+    out = shell.render_views(("uv", "depth", "depth_map"))
+    assert out["uv"].shape == (shell.capacity, 2)
+    pts = np.asarray(shell.params.xyz[:10])
+    uv, d = shell.project_points(pts)
+    assert np.asarray(uv).shape == (10, 2)
