@@ -1,33 +1,203 @@
-"""MASt3R torch checkpoint -> flax params converter (skeleton; same caveats
-as models/unimatch/convert.py — no weights ship in this environment, so the
-name mapping is completed/validated once a real .pth is available)."""
+"""MASt3R/DUSt3R torch checkpoint -> flax params converter.
+
+Maps the released checkpoints' parameter names (CroCo/DUSt3R layout — the
+same core layout in DUSt3R_ViTLarge_BaseDecoder_*_linear and the MASt3R
+checkpoints the reference loads at utility/depth_mast3r.py:46-48) onto the
+Mast3rModel flax tree defined in vit.py. The mapping is exhaustive and
+bidirectional-checked: every torch key must land, and every flax parameter
+must be produced — anything else raises with a full report, so drift
+against a real checkpoint file is loud, not silent.
+
+Covered: patch_embed.proj, enc_blocks.{i}.(norm1|attn.qkv|attn.proj|norm2|
+mlp.fc1|mlp.fc2), enc_norm, decoder_embed, dec_blocks.{i} / dec_blocks2.{i}
+(norm1|attn.*|norm2|norm_y|cross_attn.projq/projk/projv/proj|norm3|mlp.*),
+dec_norm, downstream_head{1,2}.proj (linear pts3d+conf head). The MASt3R
+'catmlp+dpt' head family is NOT covered yet — convert those checkpoints
+with head_mode='drop' to use the core with a freshly-initialized head.
+
+Use: convert_state_dict(sd) -> flat {'a/b/c/kernel': np.ndarray};
+save_npz(...); pipeline/prep_depth.load_params unflattens it back.
+"""
 from __future__ import annotations
 
 import numpy as np
 
 
-def convert_state_dict(sd: dict) -> dict:
+def _dense(arr):  # torch Linear (O, I) -> flax Dense kernel (I, O)
+    return np.asarray(arr, np.float32).T
+
+
+def _conv(arr):   # torch Conv2d (O, I, kh, kw) -> flax (kh, kw, I, O)
+    return np.asarray(arr, np.float32).transpose(2, 3, 1, 0)
+
+
+def _vec(arr):
+    return np.asarray(arr, np.float32)
+
+
+def _block_rules(dst_prefix: str, cross: bool):
+    """torch-suffix -> (flax-suffix, transform) for one transformer block."""
+    rules = {
+        "norm1.weight": ("norm1/scale", _vec),
+        "norm1.bias": ("norm1/bias", _vec),
+        "attn.qkv.weight": ("attn/qkv/kernel", _dense),
+        "attn.qkv.bias": ("attn/qkv/bias", _vec),
+        "attn.proj.weight": ("attn/proj/kernel", _dense),
+        "attn.proj.bias": ("attn/proj/bias", _vec),
+        "norm2.weight": ("norm2/scale", _vec),
+        "norm2.bias": ("norm2/bias", _vec),
+        "mlp.fc1.weight": ("mlp/fc1/kernel", _dense),
+        "mlp.fc1.bias": ("mlp/fc1/bias", _vec),
+        "mlp.fc2.weight": ("mlp/fc2/kernel", _dense),
+        "mlp.fc2.bias": ("mlp/fc2/bias", _vec),
+    }
+    if cross:
+        rules.update({
+            "norm3.weight": ("norm3/scale", _vec),
+            "norm3.bias": ("norm3/bias", _vec),
+            "norm_y.weight": ("norm_y/scale", _vec),
+            "norm_y.bias": ("norm_y/bias", _vec),
+            "cross_attn.projq.weight": ("cross_attn/projq/kernel", _dense),
+            "cross_attn.projq.bias": ("cross_attn/projq/bias", _vec),
+            "cross_attn.projk.weight": ("cross_attn/projk/kernel", _dense),
+            "cross_attn.projk.bias": ("cross_attn/projk/bias", _vec),
+            "cross_attn.projv.weight": ("cross_attn/projv/kernel", _dense),
+            "cross_attn.projv.bias": ("cross_attn/projv/bias", _vec),
+            "cross_attn.proj.weight": ("cross_attn/proj/kernel", _dense),
+            "cross_attn.proj.bias": ("cross_attn/proj/bias", _vec),
+        })
+    return {k: (f"{dst_prefix}/{v}", f) for k, (v, f) in rules.items()}
+
+
+def _build_rules(enc_depth: int, dec_depth: int) -> dict:
+    rules = {
+        "patch_embed.proj.weight": ("patch_embed/kernel", _conv),
+        "patch_embed.proj.bias": ("patch_embed/bias", _vec),
+        "enc_norm.weight": ("enc_norm/scale", _vec),
+        "enc_norm.bias": ("enc_norm/bias", _vec),
+        "decoder_embed.weight": ("decoder_embed/kernel", _dense),
+        "decoder_embed.bias": ("decoder_embed/bias", _vec),
+        "dec_norm.weight": ("dec_norm/scale", _vec),
+        "dec_norm.bias": ("dec_norm/bias", _vec),
+        "downstream_head1.proj.weight": ("downstream_head1/proj/kernel", _dense),
+        "downstream_head1.proj.bias": ("downstream_head1/proj/bias", _vec),
+        "downstream_head2.proj.weight": ("downstream_head2/proj/kernel", _dense),
+        "downstream_head2.proj.bias": ("downstream_head2/proj/bias", _vec),
+    }
+    for i in range(enc_depth):
+        for k, v in _block_rules(f"enc_blocks_{i}", cross=False).items():
+            rules[f"enc_blocks.{i}.{k}"] = v
+    for i in range(dec_depth):
+        for k, v in _block_rules(f"dec_blocks_{i}", cross=True).items():
+            rules[f"dec_blocks.{i}.{k}"] = v
+        for k, v in _block_rules(f"dec_blocks2_{i}", cross=True).items():
+            rules[f"dec_blocks2.{i}.{k}"] = v
+    return rules
+
+
+def expected_torch_keys(enc_depth: int = 24, dec_depth: int = 12,
+                        enc_dim: int = 1024, dec_dim: int = 768,
+                        patch_size: int = 16) -> dict:
+    """torch key -> shape manifest for the released core+linear layout."""
+    p, E, D = patch_size, enc_dim, dec_dim
+    out_ch = 4 * p * p
+    shapes = {
+        "patch_embed.proj.weight": (E, 3, p, p),
+        "patch_embed.proj.bias": (E,),
+        "enc_norm.weight": (E,), "enc_norm.bias": (E,),
+        "decoder_embed.weight": (D, E), "decoder_embed.bias": (D,),
+        "dec_norm.weight": (D,), "dec_norm.bias": (D,),
+        "downstream_head1.proj.weight": (out_ch, D),
+        "downstream_head1.proj.bias": (out_ch,),
+        "downstream_head2.proj.weight": (out_ch, D),
+        "downstream_head2.proj.bias": (out_ch,),
+    }
+
+    def block(prefix, d, cross):
+        shapes.update({
+            f"{prefix}.norm1.weight": (d,), f"{prefix}.norm1.bias": (d,),
+            f"{prefix}.attn.qkv.weight": (3 * d, d),
+            f"{prefix}.attn.qkv.bias": (3 * d,),
+            f"{prefix}.attn.proj.weight": (d, d),
+            f"{prefix}.attn.proj.bias": (d,),
+            f"{prefix}.norm2.weight": (d,), f"{prefix}.norm2.bias": (d,),
+            f"{prefix}.mlp.fc1.weight": (4 * d, d),
+            f"{prefix}.mlp.fc1.bias": (4 * d,),
+            f"{prefix}.mlp.fc2.weight": (d, 4 * d),
+            f"{prefix}.mlp.fc2.bias": (d,),
+        })
+        if cross:
+            shapes.update({
+                f"{prefix}.norm3.weight": (d,), f"{prefix}.norm3.bias": (d,),
+                f"{prefix}.norm_y.weight": (d,), f"{prefix}.norm_y.bias": (d,),
+                f"{prefix}.cross_attn.projq.weight": (d, d),
+                f"{prefix}.cross_attn.projq.bias": (d,),
+                f"{prefix}.cross_attn.projk.weight": (d, d),
+                f"{prefix}.cross_attn.projk.bias": (d,),
+                f"{prefix}.cross_attn.projv.weight": (d, d),
+                f"{prefix}.cross_attn.projv.bias": (d,),
+                f"{prefix}.cross_attn.proj.weight": (d, d),
+                f"{prefix}.cross_attn.proj.bias": (d,),
+            })
+
+    for i in range(enc_depth):
+        block(f"enc_blocks.{i}", E, cross=False)
+    for i in range(dec_depth):
+        block(f"dec_blocks.{i}", D, cross=True)
+        block(f"dec_blocks2.{i}", D, cross=True)
+    return shapes
+
+
+# torch key prefixes that released checkpoints carry but the core+linear
+# flax tree deliberately does not (alternate heads, masking tokens)
+_IGNORED_PREFIXES = (
+    "mask_token", "prediction_head", "downstream_head1.dpt",
+    "downstream_head2.dpt", "downstream_head1.head_local_features",
+    "downstream_head2.head_local_features",
+)
+
+
+def convert_state_dict(sd: dict, enc_depth: int = 24, dec_depth: int = 12,
+                       strict: bool = True) -> dict:
+    """torch state dict -> flat flax {'path/leaf': array}. Raises on any
+    unmapped torch key or missing flax parameter (strict)."""
+    rules = _build_rules(enc_depth, dec_depth)
     out = {}
     unmatched = []
     for k, v in sd.items():
-        arr = np.asarray(v)
-        parts = k.split(".")
-        leaf = parts[-1]
-        path = "/".join(parts[:-1])
-        if leaf == "weight" and arr.ndim == 4:   # patch-embed conv
-            out[f"{path}/kernel"] = arr.transpose(2, 3, 1, 0)
-        elif leaf == "weight" and arr.ndim == 2:
-            out[f"{path}/kernel"] = arr.T
-        elif leaf == "weight" and arr.ndim == 1:
-            out[f"{path}/scale"] = arr
-        elif leaf == "bias":
-            out[f"{path}/bias"] = arr
-        else:
+        if k.endswith(".num_batches_tracked"):
+            continue
+        if any(k.startswith(p) for p in _IGNORED_PREFIXES):
+            continue
+        rule = rules.pop(k, None)
+        if rule is None:
             unmatched.append(k)
-    if unmatched:
-        print(f"[convert] {len(unmatched)} unmatched keys, e.g. {unmatched[:5]}")
+            continue
+        dst, f = rule
+        out[dst] = f(v)
+    if strict and (unmatched or rules):
+        raise KeyError(
+            f"MASt3R convert: {len(unmatched)} unmapped checkpoint keys "
+            f"(e.g. {unmatched[:5]}) and {len(rules)} expected keys absent "
+            f"(e.g. {list(rules)[:5]}). Adjust _build_rules or pass "
+            "strict=False to inspect."
+        )
     return out
 
 
 def save_npz(tree_flat: dict, path: str):
     np.savez_compressed(path, **tree_flat)
+
+
+def convert_file(checkpoint_path: str, out_path: str,
+                 enc_depth: int = 24, dec_depth: int = 12) -> str:
+    """Convert a released .pth (as downloaded per the reference README) to
+    the .npz pipeline/prep_depth.py loads."""
+    import torch
+
+    d = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    if "model" in d and isinstance(d["model"], dict):
+        d = d["model"]
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in d.items()}
+    save_npz(convert_state_dict(sd, enc_depth, dec_depth), out_path)
+    return out_path

@@ -3,9 +3,19 @@ the reference runs offline (utility/depth_mast3r.py:46-48,107-110; CroCo-v2
 architecture: ViT-Large encoder with 2D RoPE, twin cross-attending decoders,
 pointmap+confidence (+descriptor) heads).
 
-The reference repo notes its CUDA RoPE kernels as a native dependency
-(README.md:27); here RoPE is a fused elementwise rotation that XLA handles
-natively on TPU.
+The module tree mirrors the released checkpoints' parameter layout
+(CroCo/DUSt3R naming: patch_embed.proj, enc_blocks.{i}.{norm1,attn.qkv,
+attn.proj,norm2,mlp.fc1,mlp.fc2}, enc_norm, decoder_embed (shared),
+dec_blocks.{i} / dec_blocks2.{i} with norm1/attn, norm2+norm_y/cross_attn
+(projq/projk/projv/proj), norm3/mlp, dec_norm, downstream_head{1,2}.proj)
+so convert.py is a mechanical rename+transpose. RoPE has no parameters —
+the reference repo ships it as a CUDA kernel (README.md:27); here it is a
+fused elementwise rotation XLA handles natively on TPU. GELU is exact-erf
+and LayerNorm eps 1e-6, matching CroCo numerics.
+
+The descriptor head (`desc_proj`) is an extension slot for the MASt3R
+local-feature head; DUSt3R linear checkpoints do not carry it — use
+with_desc=False when loading those.
 
 Pretrained weights convert from the released .pth (convert.py); this
 environment ships none, so tests exercise tiny configs for shape/compile
@@ -34,8 +44,12 @@ class Mast3rConfig:
     with_desc: bool = True
 
 
+def _gelu(x):
+    return nn.gelu(x, approximate=False)  # torch nn.GELU default (erf)
+
+
 # ---------------------------------------------------------------------------
-# 2D RoPE
+# 2D RoPE (CroCo-v2 RoPE2D, freq base 100)
 # ---------------------------------------------------------------------------
 
 
@@ -43,7 +57,8 @@ def rope_2d(q, positions, base=100.0):
     """Apply 2D rotary position embedding.
 
     q: (B, N, H, D) with D divisible by 4; positions: (N, 2) (y, x) patch
-    coords. Half the head dim rotates with y, half with x.
+    coords. Half the head dim rotates with y, half with x; within each half
+    the rotation pairs are the chunked halves (CroCo's rotate_half).
     """
     B, N, Hh, D = q.shape
     half = D // 2
@@ -62,7 +77,32 @@ def rope_2d(q, positions, base=100.0):
     return jnp.concatenate([qy, qx], axis=-1)
 
 
-class RopeAttention(nn.Module):
+# ---------------------------------------------------------------------------
+# Attention (CroCo layouts: fused qkv for self, projq/k/v for cross)
+# ---------------------------------------------------------------------------
+
+
+class SelfAttention(nn.Module):
+    dim: int
+    heads: int
+    rope_base: float
+
+    @nn.compact
+    def __call__(self, x, pos):
+        hd = self.dim // self.heads
+        B, N, _ = x.shape
+        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = rope_2d(q, pos, self.rope_base)
+        k = rope_2d(k, pos, self.rope_base)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class CrossAttention(nn.Module):
     dim: int
     heads: int
     rope_base: float
@@ -72,9 +112,9 @@ class RopeAttention(nn.Module):
         hd = self.dim // self.heads
         B, Nq, _ = x.shape
         Nk = kv.shape[1]
-        q = nn.Dense(self.dim, name="q")(x).reshape(B, Nq, self.heads, hd)
-        k = nn.Dense(self.dim, name="k")(kv).reshape(B, Nk, self.heads, hd)
-        v = nn.Dense(self.dim, name="v")(kv).reshape(B, Nk, self.heads, hd)
+        q = nn.Dense(self.dim, name="projq")(x).reshape(B, Nq, self.heads, hd)
+        k = nn.Dense(self.dim, name="projk")(kv).reshape(B, Nk, self.heads, hd)
+        v = nn.Dense(self.dim, name="projv")(kv).reshape(B, Nk, self.heads, hd)
         q = rope_2d(q, pos_q, self.rope_base)
         k = rope_2d(k, pos_kv, self.rope_base)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd)
@@ -83,68 +123,52 @@ class RopeAttention(nn.Module):
         return nn.Dense(self.dim, name="proj")(out)
 
 
-class Block(nn.Module):
+class Mlp(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * 4, name="fc1")(x)
+        return nn.Dense(self.dim, name="fc2")(_gelu(h))
+
+
+class EncoderBlock(nn.Module):
     dim: int
     heads: int
     rope_base: float
-    cross: bool = False
 
     @nn.compact
-    def __call__(self, x, pos, context=None, pos_ctx=None):
-        y = nn.LayerNorm(name="norm1")(x)
-        x = x + RopeAttention(self.dim, self.heads, self.rope_base,
-                              name="attn")(y, y, pos, pos)
-        if self.cross:
-            y = nn.LayerNorm(name="norm_cross")(x)
-            x = x + RopeAttention(self.dim, self.heads, self.rope_base,
-                                  name="cross_attn")(y, context, pos, pos_ctx)
-        y = nn.LayerNorm(name="norm2")(x)
-        h = nn.Dense(self.dim * 4, name="mlp1")(y)
-        h = nn.gelu(h)
-        x = x + nn.Dense(self.dim, name="mlp2")(h)
+    def __call__(self, x, pos):
+        x = x + SelfAttention(self.dim, self.heads, self.rope_base,
+                              name="attn")(nn.LayerNorm(name="norm1")(x), pos)
+        x = x + Mlp(self.dim, name="mlp")(nn.LayerNorm(name="norm2")(x))
         return x
 
 
-class Encoder(nn.Module):
-    cfg: Mast3rConfig
+class DecoderBlock(nn.Module):
+    """CroCo decoder block: self-attn, cross-attn to the (norm_y'd) other
+    view, MLP — pre-norms norm1/norm2/norm3."""
+
+    dim: int
+    heads: int
+    rope_base: float
 
     @nn.compact
-    def __call__(self, img):
-        """img (B, H, W, 3) -> tokens (B, N, D), positions (N, 2)."""
-        c = self.cfg
-        p = c.patch_size
-        B, H, W, _ = img.shape
-        x = nn.Conv(c.enc_dim, (p, p), strides=(p, p), name="patch_embed")(img)
-        h, w = x.shape[1:3]
-        x = x.reshape(B, h * w, c.enc_dim)
-        ys = jnp.repeat(jnp.arange(h), w)
-        xs = jnp.tile(jnp.arange(w), h)
-        pos = jnp.stack([ys, xs], axis=1)
-        for i in range(c.enc_depth):
-            x = Block(c.enc_dim, c.enc_heads, c.rope_base,
-                      name=f"block{i}")(x, pos)
-        x = nn.LayerNorm(name="norm")(x)
-        return x, pos, (h, w)
-
-
-class Decoder(nn.Module):
-    cfg: Mast3rConfig
-    name_prefix: str = "dec"
-
-    @nn.compact
-    def __call__(self, tokens, pos, ctx, pos_ctx):
-        c = self.cfg
-        x = nn.Dense(c.dec_dim, name="embed")(tokens)
-        ctx = nn.Dense(c.dec_dim, name="embed_ctx")(ctx)
-        for i in range(c.dec_depth):
-            x = Block(c.dec_dim, c.dec_heads, c.rope_base, cross=True,
-                      name=f"block{i}")(x, pos, ctx, pos_ctx)
-        return nn.LayerNorm(name="norm")(x)
+    def __call__(self, x, y, pos, pos_y):
+        x = x + SelfAttention(self.dim, self.heads, self.rope_base,
+                              name="attn")(nn.LayerNorm(name="norm1")(x), pos)
+        y_ = nn.LayerNorm(name="norm_y")(y)
+        x = x + CrossAttention(self.dim, self.heads, self.rope_base,
+                               name="cross_attn")(
+            nn.LayerNorm(name="norm2")(x), y_, pos, pos_y)
+        x = x + Mlp(self.dim, name="mlp")(nn.LayerNorm(name="norm3")(x))
+        return x
 
 
 class LinearHead(nn.Module):
-    """DUSt3R linear head: tokens -> per-pixel (pts3d(3) + conf(1)
-    [+ desc]). pts z is exp-activated positive; conf is 1 + exp."""
+    """DUSt3R linear head (downstream_head{i}.proj): tokens -> per-pixel
+    (pts3d(3) + conf(1)). pts z is exp-activated positive; conf is 1 + exp.
+    Optional descriptor extension (desc_proj) for MASt3R-style outputs."""
 
     cfg: Mast3rConfig
 
@@ -187,12 +211,43 @@ class Mast3rModel(nn.Module):
     @nn.compact
     def __call__(self, img1, img2):
         c = self.config
-        enc = Encoder(c, name="encoder")
-        t1, pos, hw = enc(img1 * 2 - 1)
-        t2, _, _ = enc(img2 * 2 - 1)
-        d1 = Decoder(c, name="decoder1")(t1, pos, t2, pos)
-        d2 = Decoder(c, name="decoder2")(t2, pos, t1, pos)
-        img_hw = img1.shape[1:3]
-        out1 = LinearHead(c, name="head1")(d1, hw, img_hw)
-        out2 = LinearHead(c, name="head2")(d2, hw, img_hw)
+        p = c.patch_size
+        B, H, W, _ = img1.shape
+
+        patch = nn.Conv(c.enc_dim, (p, p), strides=(p, p), name="patch_embed")
+        enc_blocks = [
+            EncoderBlock(c.enc_dim, c.enc_heads, c.rope_base,
+                         name=f"enc_blocks_{i}")
+            for i in range(c.enc_depth)
+        ]
+        enc_norm = nn.LayerNorm(name="enc_norm")
+
+        def encode(img):
+            x = patch(img * 2 - 1)
+            h, w = x.shape[1:3]
+            x = x.reshape(B, h * w, c.enc_dim)
+            ys = jnp.repeat(jnp.arange(h), w)
+            xs = jnp.tile(jnp.arange(w), h)
+            pos = jnp.stack([ys, xs], axis=1)
+            for blk in enc_blocks:
+                x = blk(x, pos)
+            return enc_norm(x), pos, (h, w)
+
+        t1, pos, hw = encode(img1)
+        t2, _, _ = encode(img2)
+
+        embed = nn.Dense(c.dec_dim, name="decoder_embed")
+        x1, x2 = embed(t1), embed(t2)
+        dec_norm = nn.LayerNorm(name="dec_norm")
+        for i in range(c.dec_depth):
+            b1 = DecoderBlock(c.dec_dim, c.dec_heads, c.rope_base,
+                              name=f"dec_blocks_{i}")
+            b2 = DecoderBlock(c.dec_dim, c.dec_heads, c.rope_base,
+                              name=f"dec_blocks2_{i}")
+            x1, x2 = b1(x1, x2, pos, pos), b2(x2, x1, pos, pos)
+        d1, d2 = dec_norm(x1), dec_norm(x2)
+
+        img_hw = (H, W)
+        out1 = LinearHead(c, name="downstream_head1")(d1, hw, img_hw)
+        out2 = LinearHead(c, name="downstream_head2")(d2, hw, img_hw)
         return out1, out2

@@ -1,30 +1,36 @@
-"""GMFlow-style optical flow network (JAX/flax) — the TPU replacement for
-the UniMatch GMFlow-scale2-regrefine6 prior generator invoked by the
+"""GMFlow / UniMatch optical-flow network (JAX/flax) — the TPU replacement
+for the UniMatch GMFlow-scale2-regrefine6 prior generator invoked by the
 reference's prep pipeline (scripts/flow_unimatch.sh:48-62, consumed at
 gflow/fit_video.py:85-88,247).
 
-Architecture (the canonical GMFlow/UniMatch pipeline, implemented TPU-first
-with batched einsum attention):
+The module tree mirrors the released checkpoint's parameter layout
+(autonomousvision/unimatch naming) so convert.py is a mechanical
+rename+transpose:
 
-1. shared CNN encoder -> feature pyramids at 1/8 and 1/4 resolution,
-2. per scale: swin-style split self/cross transformer over both views
-   (attn_splits 2 at 1/8, 8 at 1/4),
-3. global softmax correlation matching at 1/8 (corr_radius -1) /
-   local window matching at 1/4 (radius 4),
-4. flow propagation by feature self-attention,
-5. regression refinement GRU iterations at the finest scale (reg_refine,
-   task='flow'),
-6. learned convex upsampling to full resolution.
+  backbone.conv1 (7x7/2, paramless instance norms), layer{1,2,3}.{0,1}
+  residual blocks (+1x1 downsample convs), conv2 (1x1), trident_conv
+  (weight-shared 3x3 applied at strides 1 and 2 -> the 1/4 and 1/8
+  pyramid for scale2 models);
+  transformer.layers.{i}.{self_attn,cross_attn_ffn} LoFTR-style layers
+  (q/k/v/merge linear, message = norm2(mlp(cat(source, norm1(merge(att)))))
+  added back to source), swin window splits, sine position embedding;
+  parameter-free global/local correlation softmax matching;
+  feature_flow_attn (SelfAttnPropagation, learned q/k projections,
+  flow as value);
+  upsampler (conv-relu-conv over cat(flow, feature) -> 9-way convex mask);
+  refine_proj + refine (RAFT BasicUpdateBlock: BasicMotionEncoder,
+  SepConvGRU, FlowHead, learned upsampling mask).
 
-Pretrained UniMatch weights can be converted with convert.py when a torch
-checkpoint is provided (this environment ships none — the prep CLI gates on
-a checkpoint path and the tests exercise shapes/compile with random
-weights).
+GELU is exact-erf, LayerNorm eps 1e-5 (torch defaults).
+Pretrained UniMatch weights convert with convert.py (this environment
+ships none — the prep CLI gates on a checkpoint path and the tests
+exercise convert->load->apply with a synthetic released-layout state
+dict, plus shapes/compile/trainability with random weights).
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
-from typing import Sequence
 
 import flax.linen as nn
 import jax
@@ -45,8 +51,15 @@ class GMFlowConfig:
     padding_factor: int = 32
 
 
+def _gelu(x):
+    return nn.gelu(x, approximate=False)
+
+
+_LN = {"epsilon": 1e-5}  # torch nn.LayerNorm default
+
+
 # ---------------------------------------------------------------------------
-# Encoder
+# Encoder (RAFT-style residual CNN + trident multi-stride output)
 # ---------------------------------------------------------------------------
 
 
@@ -56,47 +69,108 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride))(x)
-        y = nn.GroupNorm(num_groups=None, group_size=1)(y)  # instance norm
-        y = nn.relu(y)
-        y = nn.Conv(self.ch, (3, 3))(y)
-        y = nn.GroupNorm(num_groups=None, group_size=1)(y)
+        inorm = lambda name: nn.GroupNorm(num_groups=None, group_size=1,
+                                          use_scale=False, use_bias=False,
+                                          name=name)
+        y = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride),
+                    name="conv1")(x)
+        y = nn.relu(inorm("norm1")(y))
+        y = nn.Conv(self.ch, (3, 3), name="conv2")(y)
+        y = nn.relu(inorm("norm2")(y))
         if self.stride != 1 or x.shape[-1] != self.ch:
-            x = nn.Conv(self.ch, (1, 1), strides=(self.stride, self.stride))(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1)(x)
+            x = nn.Conv(self.ch, (1, 1), strides=(self.stride, self.stride),
+                        name="downsample")(x)
+            x = inorm("norm3")(x)
         return nn.relu(x + y)
 
 
+class TridentConv(nn.Module):
+    """Weight-shared 3x3 conv applied at multiple strides (upstream
+    MultiScaleTridentConv)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, x, stride: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.ch))
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (stride, stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
 class CNNEncoder(nn.Module):
-    """Image -> [1/8 feature, 1/4 feature] (coarse first)."""
+    """Image -> [coarsest..finest] feature pyramid. For num_scales=2 the
+    base runs to 1/4 and a weight-shared trident conv emits 1/4 and 1/8
+    (upstream MultiScaleTridentConv)."""
 
     out_ch: int = 128
+    num_scales: int = 2
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2))(x)  # 1/2
-        x = nn.GroupNorm(num_groups=None, group_size=1)(x)
-        x = nn.relu(x)
-        x = ResidualBlock(64)(x)
-        x = ResidualBlock(96, stride=2)(x)   # 1/4
-        f4 = x
-        x = ResidualBlock(128, stride=2)(x)  # 1/8
-        f8 = nn.Conv(self.out_ch, (1, 1))(x)
-        f4 = nn.Conv(self.out_ch, (1, 1))(f4)
+        inorm = nn.GroupNorm(num_groups=None, group_size=1, use_scale=False,
+                             use_bias=False, name="norm1")
+        x = nn.Conv(64, (7, 7), strides=(2, 2), name="conv1")(x)  # 1/2
+        x = nn.relu(inorm(x))
+        x = ResidualBlock(64, name="layer1_0")(x)
+        x = ResidualBlock(64, name="layer1_1")(x)
+        x = ResidualBlock(96, stride=2, name="layer2_0")(x)   # 1/4
+        x = ResidualBlock(96, name="layer2_1")(x)
+        s3 = 1 if self.num_scales > 1 else 2
+        x = ResidualBlock(128, stride=s3, name="layer3_0")(x)
+        x = ResidualBlock(128, name="layer3_1")(x)
+        x = nn.Conv(self.out_ch, (1, 1), name="conv2")(x)
+        if self.num_scales == 1:
+            return [x]  # 1/8
+        trident = TridentConv(self.out_ch, name="trident_conv")
+        f4 = trident(x, 1)  # 1/4
+        f8 = trident(x, 2)  # 1/8 (shared weights, stride 2)
         return [f8, f4]
 
 
 # ---------------------------------------------------------------------------
-# Split (swin-style) transformer
+# Position embedding (parameter-free sine, DETR-style as in unimatch)
+# ---------------------------------------------------------------------------
+
+
+def position_embedding_sine(H, W, dim):
+    """(H, W, dim) DETR-style normalized sine embedding (num_pos_feats =
+    dim/2 per axis)."""
+    npf = dim // 2
+    ys = jnp.arange(1, H + 1, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(1, W + 1, dtype=jnp.float32)[None, :]
+    eps, scale = 1e-6, 2 * math.pi
+    ys = ys / (H + eps) * scale
+    xs = xs / (W + eps) * scale
+    dim_t = 10000.0 ** (2 * (jnp.arange(npf) // 2) / npf)
+    py = ys[..., None] / dim_t        # (H, 1, npf)
+    px = xs[..., None] / dim_t        # (1, W, npf)
+    py = jnp.broadcast_to(py, (H, W, npf))
+    px = jnp.broadcast_to(px, (H, W, npf))
+
+    def interleave(p):
+        sin = jnp.sin(p[..., 0::2])
+        cos = jnp.cos(p[..., 1::2])
+        return jnp.stack([sin, cos], axis=-1).reshape(H, W, -1)
+
+    return jnp.concatenate([interleave(py), interleave(px)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Split (swin-style) LoFTR-form transformer
 # ---------------------------------------------------------------------------
 
 
 def _split_windows(x, splits):
-    """(B, H, W, C) -> (B*splits^2, H/s, W/s, C)."""
+    """(B, H, W, C) -> (B*splits^2, H/s * W/s, C)."""
     B, H, W, C = x.shape
     s = splits
     x = x.reshape(B, s, H // s, s, W // s, C).transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(B * s * s, H // s, W // s, C)
+    return x.reshape(B * s * s, (H // s) * (W // s), C)
 
 
 def _merge_windows(x, splits, H, W):
@@ -106,49 +180,45 @@ def _merge_windows(x, splits, H, W):
     return x.reshape(B, H, W, -1)
 
 
-class Attention(nn.Module):
-    dim: int
-
-    @nn.compact
-    def __call__(self, q_in, kv_in):
-        q = nn.Dense(self.dim)(q_in)
-        k = nn.Dense(self.dim)(kv_in)
-        v = nn.Dense(self.dim)(kv_in)
-        Bq = q.shape[:-2]
-        qf = q.reshape(Bq + (-1, self.dim))
-        kf = k.reshape(Bq + (-1, self.dim))
-        vf = v.reshape(Bq + (-1, self.dim))
-        attn = jnp.einsum("...qc,...kc->...qk", qf, kf) / jnp.sqrt(self.dim)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("...qk,...kc->...qc", attn, vf)
-        out = out.reshape(q.shape)
-        return nn.Dense(self.dim)(out)
-
-
 class TransformerLayer(nn.Module):
-    """Self attention on source + cross attention to target, with FFN
-    (GMFlow interleaves self/cross per layer)."""
+    """LoFTR-style message layer (upstream unimatch TransformerLayer):
+    attention message -> merge -> norm1 -> mlp(cat(source, message)) ->
+    norm2 -> residual add."""
 
     dim: int
 
     @nn.compact
-    def __call__(self, feat0, feat1, splits):
-        H, W = feat0.shape[1:3]
+    def __call__(self, source, target, splits):
+        H, W = source.shape[1:3]
+        q = nn.Dense(self.dim, use_bias=False, name="q_proj")(source)
+        k = nn.Dense(self.dim, use_bias=False, name="k_proj")(target)
+        v = nn.Dense(self.dim, use_bias=False, name="v_proj")(target)
+        qs = _split_windows(q, splits)
+        ks = _split_windows(k, splits)
+        vs = _split_windows(v, splits)
+        attn = jnp.einsum("bqc,bkc->bqk", qs, ks) / jnp.sqrt(self.dim)
+        attn = jax.nn.softmax(attn, axis=-1)
+        msg = jnp.einsum("bqk,bkc->bqc", attn, vs)
+        msg = _merge_windows(msg, splits, H, W)
+        msg = nn.Dense(self.dim, use_bias=False, name="merge")(msg)
+        msg = nn.LayerNorm(name="norm1", **_LN)(msg)
+        h = jnp.concatenate([source, msg], axis=-1)
+        h = nn.Dense(self.dim * 2 * 4, use_bias=False, name="mlp_0")(h)
+        h = nn.Dense(self.dim, use_bias=False, name="mlp_2")(_gelu(h))
+        msg = nn.LayerNorm(name="norm2", **_LN)(h)
+        return source + msg
 
-        def block(x, kv, name):
-            xs = _split_windows(x, splits)
-            kvs = _split_windows(kv, splits)
-            y = Attention(self.dim, name=f"{name}_attn")(xs, kvs)
-            y = _merge_windows(y, splits, H, W)
-            x = nn.LayerNorm(name=f"{name}_norm1")(x + y)
-            h = nn.Dense(self.dim * 4, name=f"{name}_ffn1")(x)
-            h = nn.gelu(h)
-            h = nn.Dense(self.dim, name=f"{name}_ffn2")(h)
-            return nn.LayerNorm(name=f"{name}_norm2")(x + h)
 
-        feat0 = block(feat0, feat0, "self")
-        feat0 = block(feat0, feat1, "cross")
-        return feat0
+class TransformerBlock(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, source, target, splits):
+        source = TransformerLayer(self.dim, name="self_attn")(
+            source, source, splits)
+        source = TransformerLayer(self.dim, name="cross_attn_ffn")(
+            source, target, splits)
+        return source
 
 
 class FeatureTransformer(nn.Module):
@@ -158,7 +228,7 @@ class FeatureTransformer(nn.Module):
     @nn.compact
     def __call__(self, feat0, feat1, splits):
         for i in range(self.num_layers):
-            layer = TransformerLayer(self.dim, name=f"layer{i}")
+            layer = TransformerBlock(self.dim, name=f"layers_{i}")
             new0 = layer(feat0, feat1, splits)
             new1 = layer(feat1, feat0, splits)
             feat0, feat1 = new0, new1
@@ -166,7 +236,7 @@ class FeatureTransformer(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# Correlation matching
+# Correlation matching (parameter-free)
 # ---------------------------------------------------------------------------
 
 
@@ -194,8 +264,6 @@ def local_correlation_softmax(feat0, feat1, radius: int):
     """Windowed matching within +-radius (GMFlow local variant)."""
     B, H, W, C = feat0.shape
     r = radius
-    d = 2 * r + 1
-    # build shifted copies of feat1 (d*d, B, H, W, C) via padding + slicing
     pad = jnp.pad(feat1, ((0, 0), (r, r), (r, r), (0, 0)))
     shifts = []
     offs = []
@@ -211,33 +279,43 @@ def local_correlation_softmax(feat0, feat1, radius: int):
     return flow
 
 
-def flow_propagation(feat0, flow, radius: int):
-    """Self-attention flow propagation (GMFlow eq. 4). radius -1 = global."""
-    B, H, W, C = feat0.shape
-    f = feat0.reshape(B, H * W, C)
-    v = flow.reshape(B, H * W, 2)
-    if radius < 0:
-        attn = jnp.einsum("bic,bjc->bij", f, f) / jnp.sqrt(C)
+class SelfAttnPropagation(nn.Module):
+    """Flow propagation by feature self-attention with learned q/k
+    projections, flow as value (upstream feature_flow_attn).
+    radius -1 = global; otherwise local window."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, feat0, flow, radius: int):
+        B, H, W, C = feat0.shape
+        q = nn.Dense(self.dim, name="q_proj")(feat0)
+        k = nn.Dense(self.dim, name="k_proj")(feat0)
+        if radius < 0:
+            qf = q.reshape(B, H * W, C)
+            kf = k.reshape(B, H * W, C)
+            v = flow.reshape(B, H * W, 2)
+            attn = jnp.einsum("bic,bjc->bij", qf, kf) / jnp.sqrt(C)
+            prob = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bij,bjc->bic", prob, v)
+            return out.reshape(B, H, W, 2)
+        r = radius
+        pad_k = jnp.pad(k, ((0, 0), (r, r), (r, r), (0, 0)))
+        pad_v = jnp.pad(flow, ((0, 0), (r, r), (r, r), (0, 0)))
+        ks, vs = [], []
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                ks.append(pad_k[:, r + dy : r + dy + H, r + dx : r + dx + W])
+                vs.append(pad_v[:, r + dy : r + dy + H, r + dx : r + dx + W])
+        kk = jnp.stack(ks, axis=3)
+        vk = jnp.stack(vs, axis=3)
+        attn = jnp.einsum("bhwc,bhwkc->bhwk", q, kk) / jnp.sqrt(C)
         prob = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bij,bjc->bic", prob, v)
-        return out.reshape(B, H, W, 2)
-    r = radius
-    pad_f = jnp.pad(feat0, ((0, 0), (r, r), (r, r), (0, 0)))
-    pad_v = jnp.pad(flow, ((0, 0), (r, r), (r, r), (0, 0)))
-    fs, vs = [], []
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            fs.append(pad_f[:, r + dy : r + dy + H, r + dx : r + dx + W])
-            vs.append(pad_v[:, r + dy : r + dy + H, r + dx : r + dx + W])
-    fk = jnp.stack(fs, axis=3)
-    vk = jnp.stack(vs, axis=3)
-    attn = jnp.einsum("bhwc,bhwkc->bhwk", feat0, fk) / jnp.sqrt(C)
-    prob = jax.nn.softmax(attn, axis=-1)
-    return jnp.einsum("bhwk,bhwkc->bhwc", prob, vk)
+        return jnp.einsum("bhwk,bhwkc->bhwc", prob, vk)
 
 
 # ---------------------------------------------------------------------------
-# Refinement + upsampling
+# Refinement (RAFT BasicUpdateBlock) + upsampling
 # ---------------------------------------------------------------------------
 
 
@@ -268,81 +346,94 @@ def _bilinear_sample(img, coords):
     )
 
 
-class RefineGRU(nn.Module):
-    """RAFT-style conv-GRU regression refinement over local correlation."""
+def local_correlation_with_flow(feat0, feat1, flow, radius: int):
+    """(B, H, W, (2r+1)^2) correlation of feat0 vs feat1 warped by flow."""
+    B, H, W, C = feat0.shape
+    grid = _coords_grid(B, H, W)
+    warped = _bilinear_sample(feat1, grid + flow)
+    r = radius
+    pad = jnp.pad(warped, ((0, 0), (r, r), (r, r), (0, 0)))
+    cs = [
+        jnp.einsum("bhwc,bhwc->bhw", feat0,
+                   pad[:, r + dy : r + dy + H, r + dx : r + dx + W])
+        / jnp.sqrt(C)
+        for dy in range(-r, r + 1)
+        for dx in range(-r, r + 1)
+    ]
+    return jnp.stack(cs, axis=-1)
 
+
+class BasicMotionEncoder(nn.Module):
+    corr_channels: int
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), name="convc2")(c))
+        f = nn.relu(nn.Conv(128, (7, 7), name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), name="convf2")(f))
+        out = nn.relu(nn.Conv(126, (3, 3), name="conv")(
+            jnp.concatenate([c, f], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)  # 128
+
+
+class SepConvGRU(nn.Module):
     hidden: int = 128
-    corr_radius: int = 4
 
     @nn.compact
-    def __call__(self, feat0, feat1, flow, iters: int):
-        B, H, W, C = feat0.shape
-        h = jnp.tanh(nn.Conv(self.hidden, (3, 3), name="init_h")(feat0))
-        grid = _coords_grid(B, H, W)
-        r = self.corr_radius
-        d = 2 * r + 1
-
-        gru_z = nn.Conv(self.hidden, (3, 3), name="gru_z")
-        gru_r = nn.Conv(self.hidden, (3, 3), name="gru_r")
-        gru_q = nn.Conv(self.hidden, (3, 3), name="gru_q")
-        enc_corr = nn.Conv(96, (1, 1), name="enc_corr")
-        enc_flow = nn.Conv(64, (3, 3), name="enc_flow")
-        head1 = nn.Conv(128, (3, 3), name="head1")
-        head2 = nn.Conv(2, (3, 3), name="head2")
-
-        for _ in range(iters):
-            flow = jax.lax.stop_gradient(flow)
-            warped = _bilinear_sample(feat1, grid + flow)
-            # local correlation volume around the warped position
-            pad = jnp.pad(warped, ((0, 0), (r, r), (r, r), (0, 0)))
-            cs = [
-                jnp.einsum(
-                    "bhwc,bhwc->bhw", feat0,
-                    pad[:, r + dy : r + dy + H, r + dx : r + dx + W],
-                ) / jnp.sqrt(C)
-                for dy in range(-r, r + 1)
-                for dx in range(-r, r + 1)
-            ]
-            corr = jnp.stack(cs, axis=-1)  # (B, H, W, d*d)
-            m = jnp.concatenate(
-                [nn.relu(enc_corr(corr)), nn.relu(enc_flow(flow)), feat0],
-                axis=-1,
-            )
-            hx = jnp.concatenate([h, m], axis=-1)
-            z = jax.nn.sigmoid(gru_z(hx))
-            rr = jax.nn.sigmoid(gru_r(hx))
-            q = jnp.tanh(gru_q(jnp.concatenate([rr * h, m], axis=-1)))
-            h = (1 - z) * h + z * q
-            flow = flow + head2(nn.relu(head1(h)))
-        return flow
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(nn.Conv(self.hidden, (1, 5), name="convz1")(hx))
+        r = jax.nn.sigmoid(nn.Conv(self.hidden, (1, 5), name="convr1")(hx))
+        q = jnp.tanh(nn.Conv(self.hidden, (1, 5), name="convq1")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        h = (1 - z) * h + z * q
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(nn.Conv(self.hidden, (5, 1), name="convz2")(hx))
+        r = jax.nn.sigmoid(nn.Conv(self.hidden, (5, 1), name="convr2")(hx))
+        q = jnp.tanh(nn.Conv(self.hidden, (5, 1), name="convq2")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
 
 
-class ConvexUpsampler(nn.Module):
-    """Learned convex-combination upsampling (RAFT-style)."""
+class FlowHead(nn.Module):
+    @nn.compact
+    def __call__(self, h):
+        return nn.Conv(2, (3, 3), name="conv2")(
+            nn.relu(nn.Conv(256, (3, 3), name="conv1")(h)))
 
-    factor: int
+
+class BasicUpdateBlock(nn.Module):
+    corr_channels: int
+    mask_ch: int  # upsample_factor**2 * 9
 
     @nn.compact
-    def __call__(self, feat, flow):
-        B, H, W, _ = flow.shape
-        f = self.factor
-        mask = nn.Conv(f * f * 9, (3, 3))(nn.relu(nn.Conv(256, (3, 3))(feat)))
-        mask = mask.reshape(B, H, W, f * f, 9)
-        mask = jax.nn.softmax(mask, axis=-1)
-        # 3x3 neighborhood of coarse flow
-        pad = jnp.pad(flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        neigh = jnp.stack(
-            [
-                pad[:, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
-                for dy in (-1, 0, 1)
-                for dx in (-1, 0, 1)
-            ],
-            axis=3,
-        )  # (B, H, W, 9, 2)
-        up = jnp.einsum("bhwkn,bhwnc->bhwkc", mask, neigh) * f  # scale flow
-        up = up.reshape(B, H, W, f, f, 2)
-        up = up.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * f, W * f, 2)
-        return up
+    def __call__(self, net, inp, corr, flow):
+        m = BasicMotionEncoder(self.corr_channels, name="encoder")(flow, corr)
+        net = SepConvGRU(name="gru")(net, jnp.concatenate([inp, m], axis=-1))
+        dflow = FlowHead(name="flow_head")(net)
+        mask = nn.Conv(self.mask_ch, (1, 1), name="mask_2")(
+            nn.relu(nn.Conv(256, (3, 3), name="mask_0")(net)))
+        return net, mask, dflow
+
+
+def upsample_flow_with_mask(flow, mask, factor: int):
+    """RAFT convex upsampling: mask (B, H, W, f*f*9) softmaxed over the 3x3
+    neighborhood of the (x factor scaled) coarse flow."""
+    B, H, W, _ = flow.shape
+    f = factor
+    mask = mask.reshape(B, H, W, f * f, 9)
+    mask = jax.nn.softmax(mask, axis=-1)
+    pad = jnp.pad(flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [pad[:, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        axis=3,
+    )  # (B, H, W, 9, 2)
+    up = jnp.einsum("bhwkn,bhwnc->bhwkc", mask, neigh) * f
+    up = up.reshape(B, H, W, f, f, 2)
+    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * f, W * f, 2)
+    return up
 
 
 # ---------------------------------------------------------------------------
@@ -359,16 +450,22 @@ class GMFlow(nn.Module):
         padding_factor. Returns full-resolution flow (B, H, W, 2)."""
         cfg = self.config
         B, H, W, _ = img0.shape
-        enc = CNNEncoder(cfg.feature_channels, name="encoder")
+        enc = CNNEncoder(cfg.feature_channels, cfg.num_scales, name="backbone")
         feats0 = enc(img0 * 2 - 1)
         feats1 = enc(img1 * 2 - 1)
 
+        tr = FeatureTransformer(
+            cfg.feature_channels, cfg.num_transformer_layers,
+            name="transformer",
+        )
+        prop = SelfAttnPropagation(cfg.feature_channels,
+                                   name="feature_flow_attn")
+
         flow = None
+        f0t = f1t = None
         for s in range(cfg.num_scales):
             f0, f1 = feats0[s], feats1[s]
-            scale_div = 8 // (2**s)  # 8, then 4
             if flow is not None:
-                # upsample previous flow to this scale and warp target feats
                 flow = (
                     jax.image.resize(
                         flow, (B, f0.shape[1], f0.shape[2], 2), "bilinear"
@@ -378,11 +475,9 @@ class GMFlow(nn.Module):
                 grid = _coords_grid(B, f0.shape[1], f0.shape[2])
                 f1 = _bilinear_sample(f1, grid + flow)
 
-            tr = FeatureTransformer(
-                cfg.feature_channels, cfg.num_transformer_layers,
-                name=f"transformer{s}",
-            )
-            f0t, f1t = tr(f0, f1, cfg.attn_splits_list[s])
+            pos = position_embedding_sine(
+                f0.shape[1], f0.shape[2], cfg.feature_channels)[None]
+            f0t, f1t = tr(f0 + pos, f1 + pos, cfg.attn_splits_list[s])
 
             radius = cfg.corr_radius_list[s]
             if radius < 0:
@@ -391,15 +486,32 @@ class GMFlow(nn.Module):
                 delta = local_correlation_softmax(f0t, f1t, radius)
             flow = delta if flow is None else flow + delta
 
-            flow = flow_propagation(f0t, flow, cfg.prop_radius_list[s])
+            flow = prop(f0t, flow, cfg.prop_radius_list[s])
 
-            if s == cfg.num_scales - 1 and cfg.num_reg_refine > 0:
-                flow = RefineGRU(corr_radius=4, name="refine")(
-                    f0t, f1t, flow, cfg.num_reg_refine
-                )
-
-        up = ConvexUpsampler(cfg.upsample_factor, name="upsampler")
-        flow_full = up(feats0[-1], flow)
+        if cfg.num_reg_refine > 0:
+            proj = nn.Conv(256, (1, 1), name="refine_proj")(f0t)
+            net, inp = jnp.split(proj, 2, axis=-1)
+            net = jnp.tanh(net)
+            inp = nn.relu(inp)
+            refine = BasicUpdateBlock(
+                corr_channels=81, mask_ch=cfg.upsample_factor**2 * 9,
+                name="refine",
+            )
+            up_mask = None
+            for _ in range(cfg.num_reg_refine):
+                flow = jax.lax.stop_gradient(flow)
+                corr = local_correlation_with_flow(f0t, f1t, flow, radius=4)
+                net, up_mask, dflow = refine(net, inp, corr, flow)
+                flow = flow + dflow
+            flow_full = upsample_flow_with_mask(flow, up_mask,
+                                                cfg.upsample_factor)
+        else:
+            mask = nn.Conv(
+                cfg.upsample_factor**2 * 9, (1, 1), name="upsampler_2")(
+                nn.relu(nn.Conv(256, (3, 3), name="upsampler_0")(
+                    jnp.concatenate([flow, feats0[-1]], axis=-1))))
+            flow_full = upsample_flow_with_mask(flow, mask,
+                                                cfg.upsample_factor)
         return flow_full
 
 

@@ -143,11 +143,16 @@ def render_traj(
     line_scale: float = 1.0,
     point_scale: float = 2.0,
     config: RenderConfig = DEFAULT_CONFIG,
+    n_actual=None,
 ):
     """Trajectory line-set rendering: conic overridden to scaled identity,
     larger for the line body than the head points (reference:
     gflow/utils/render.py:110-156 — note the reference scales the *first*
-    len-point_num entries by point_scale; we mirror that exactly)."""
+    len-point_num entries by point_scale; we mirror that exactly).
+
+    n_actual: logical point count when the arrays are padded to a fixed
+    capacity (padding slots carry opacity 0); keeps the point/line split at
+    the right boundary while callers reuse one compiled shape."""
     proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
     uv, depth, conic, radius = proj["uv"], proj["depth"], proj["conic"], proj["radius"]
     n_tx, n_ty = tile_grid(W, H)
@@ -157,9 +162,10 @@ def render_traj(
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
     )
     n = xyz.shape[0]
+    cutoff = (n if n_actual is None else n_actual) - point_num
     ident = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
     scale_per_pt = jnp.where(
-        jnp.arange(n) < n - point_num, point_scale, line_scale
+        jnp.arange(n) < cutoff, point_scale, line_scale
     )[:, None]
     traj_conic = jnp.broadcast_to(ident, conic.shape) * scale_per_pt
     compose = _get_compositor(config)

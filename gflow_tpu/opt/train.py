@@ -149,6 +149,11 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
         "depth_map": rendered_depth,
         "loss_rgb_pixel": loss_rgb_pixel,
         "metrics": metrics,
+        # silent-truncation telemetry (depth-sorted per-tile lists keep the
+        # NEAREST max_per_tile splats; report how often that cap bites)
+        "tile_overflow": jnp.mean(
+            (bins.tile_counts > cfg.render.max_per_tile).astype(jnp.float32)
+        ),
     }
     return total, aux
 
@@ -267,6 +272,7 @@ def train_stage(params: Params, state: FrameState, targets, intr,
             rgb=jnp.zeros((cfg.H, cfg.W, 3)),
             depth_map=jnp.zeros((cfg.H, cfg.W, 1)),
             loss_rgb_pixel=jnp.zeros((cfg.H, cfg.W)),
+            tile_overflow=jnp.asarray(0.0),
         )
 
     def one_iter(i, carry):
@@ -392,6 +398,7 @@ def train_stage(params: Params, state: FrameState, targets, intr,
         "uv": aux["uv"],
         "depth": aux["depth"],
         "n_alive": n_alive,
+        "tile_overflow": aux.get("tile_overflow", jnp.asarray(0.0)),
     }
     if snapshots is not None:
         info["snapshots"] = snapshots

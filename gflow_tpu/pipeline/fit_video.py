@@ -240,6 +240,8 @@ def main(
                          occulasions=occl[:, :, -len(closest_move):],
                          filename="sequence_traj_vis_move")
 
+    telemetry.gauge("tile_overflow_last",
+                    getattr(trainer, "last_tile_overflow", None))
     telemetry.dump(os.path.join(trainer.dir, "telemetry.json"))
     print_color(f"Total time: {total_min:.2f} mins", color="green")
     print_color(

@@ -56,7 +56,9 @@ def main(img_dir: str, checkpoint: str = None, inference_size: int = 512,
     paths = sorted(glob.glob(os.path.join(img_dir, "*.jpg"))) + sorted(
         glob.glob(os.path.join(img_dir, "*.png"))
     )
-    model = Mast3rModel(Mast3rConfig())
+    # DUSt3R linear checkpoints carry no descriptor head (convert.py)
+    with_desc = "desc_proj" in params["params"].get("downstream_head1", {})
+    model = Mast3rModel(Mast3rConfig(with_desc=with_desc))
     apply = jax.jit(model.apply)
 
     for c0 in range(0, len(paths), seg_size):

@@ -289,6 +289,7 @@ class GFlowTrainer:
             self.params, self.state, targets, self.intr, sub, dyn=dyn
         )
         self._last_info = info
+        self.last_tile_overflow = float(info.get("tile_overflow", 0.0))
 
         out = {
             "frames": [],
@@ -605,15 +606,25 @@ class GFlowTrainer:
 
         t = self._traj
         nt = len(t["xyz"])
+        # pad the growing line-set to the next power of two so repeated
+        # eval() calls reuse one compiled shape (padding slots: opacity 0)
+        cap = max(256, 1 << (nt - 1).bit_length())
+        xyz_p = np.zeros((cap, 3), np.float32)
+        xyz_p[:nt] = t["xyz"]
+        xyz_p[nt:, 2] = -1.0  # behind the camera
+        op_p = np.zeros((cap, 1), np.float32)
+        op_p[:nt] = t["opacity"]
+        rgb_p = np.zeros((cap, 3), np.float32)
+        rgb_p[:nt] = t["rgb"]
         traj_img = render_traj(
-            jnp.asarray(t["xyz"]),
-            jnp.full((nt, 3), 1e-6),
-            jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (nt, 1)),
-            jnp.asarray(t["opacity"]),
-            jnp.asarray(t["rgb"]),
+            jnp.asarray(xyz_p),
+            jnp.full((cap, 3), 1e-6),
+            jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (cap, 1)),
+            jnp.asarray(op_p),
+            jnp.asarray(rgb_p),
             self.intr, self.get_extr(), self.bg, self.W, self.H,
             point_num=num_traj, line_scale=line_scale, point_scale=point_scale,
-            config=self.render_config,
+            config=self.render_config, n_actual=nt,
         )
         out_traj = render2img(traj_img)
         # screen blending (trainer.py:798-806)

@@ -22,6 +22,7 @@ class Telemetry:
         self.phase_calls = defaultdict(int)
         self.frames = 0
         self.opt_steps = 0
+        self.gauges = {}
         self._t0 = time.time()
 
     @contextlib.contextmanager
@@ -38,9 +39,13 @@ class Telemetry:
         self.frames += 1
         self.opt_steps += opt_steps
 
+    def gauge(self, name: str, value):
+        """Record a point-in-time observable (e.g. tile-truncation rate)."""
+        self.gauges[name] = value
+
     def summary(self) -> dict:
         total = time.time() - self._t0
-        return {
+        out = {
             "total_sec": round(total, 3),
             "frames": self.frames,
             "sec_per_frame": round(total / max(self.frames, 1), 3),
@@ -50,6 +55,8 @@ class Telemetry:
                 for k, v in sorted(self.phase_seconds.items())
             },
         }
+        out.update(self.gauges)
+        return out
 
     def dump(self, path: str):
         with open(path, "w") as f:

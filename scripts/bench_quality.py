@@ -1,0 +1,103 @@
+"""Quality benchmark: canonical-config fit of a 480p synthetic moving-object
+scene + the FULL evaluation suite (PSNR/SSIM/LPIPS, TAP-Vid tracking,
+J/F segmentation, ATE/RPE camera), with per-tile truncation telemetry.
+
+Complements bench.py (which measures wall-clock only on a single-frame
+image): this is the quality artifact VERDICT round-1 asked for. Writes
+QUALITY_r{N}.json at the repo root.
+
+Usage: python scripts/bench_quality.py [--frames 6] [--out QUALITY_r02.json]
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--points", type=int, default=50_000)
+    ap.add_argument("--out", default="QUALITY_r02.json")
+    ap.add_argument("--width", type=int, default=854)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--traj-num", type=int, default=100)
+    args = ap.parse_args()
+
+    from synth import make_sequence
+
+    from gflow_tpu.pipeline import fit_video
+    from gflow_tpu.eval import benchmark
+
+    tmp = tempfile.mkdtemp(prefix="gflow_quality_")
+    seq = make_sequence(tmp, n_frames=args.frames, W=args.width,
+                        H=args.height, seed=0, texture_octaves=3)
+
+    t0 = time.time()
+    # canonical config — scripts/fit_video.sh == reference fit_video.sh:15-48
+    fit_video.main(
+        num_points=args.points,
+        sequence_path=seq,
+        resize=None,                     # sequence is already target size
+        lr=4e-3, lr_camera=0.0,
+        iterations_first=500,
+        lr_after=4e-3, iterations_after=300,
+        camera_first=True, lr_camera_after=1e-3, iterations_camera=150,
+        load_extr=False,
+        densify_interval=150, densify_times=2, densify_occ_percent=0.5,
+        densify_interval_after=100, densify_times_after=2,
+        densify_err_thre=1e-2, densify_err_percent=1.0,
+        lambda_rgb=1.0, lambda_depth=0.1, lambda_var=50.0,
+        lambda_still=0.0, lambda_flow=0.01, lambda_scale=0.0,
+        background="black",
+        traj_num=args.traj_num, traj_offset=2,
+        common_logs=False, logs_suffix="logs_cam_init_only",
+    )
+    fit_seconds = time.time() - t0
+    sec_per_frame = fit_seconds / args.frames
+
+    log_root = str(seq) + "_logs_cam_init_only"
+    runs = sorted(
+        p for p in glob.glob(os.path.join(log_root, "*"))
+        if os.path.isdir(p) and not p.endswith("0_latest")
+    )
+    log_path = runs[-1]
+
+    metrics = benchmark.main(
+        log_path=log_path, sequence_path=str(seq), csv_name="metrics",
+        eval_recon=True, eval_track=True, eval_seg=True,
+        eval_camera_flag=True,
+    )
+
+    # truncation telemetry from the final fitted frame
+    telemetry_path = os.path.join(log_path, "telemetry.json")
+    tile_overflow = None
+    if os.path.exists(telemetry_path):
+        with open(telemetry_path) as f:
+            tile_overflow = json.load(f).get("tile_overflow_last")
+
+    out = {
+        "config": {
+            "W": args.width, "H": args.height, "frames": args.frames,
+            "points": args.points,
+            "iters": "500 first / 150 camera / 300 full (canonical)",
+        },
+        "sec_per_frame_incl_io": round(sec_per_frame, 3),
+        "tile_overflow_last_frame": tile_overflow,
+        "metrics": {k: (None if v is None else float(v))
+                    for k, v in metrics.items()},
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

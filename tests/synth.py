@@ -16,7 +16,7 @@ import numpy as np
 from gflow_tpu.core.io import write_flow
 
 
-def make_sequence(root, n_frames=4, W=96, H=64, seed=0):
+def make_sequence(root, n_frames=4, W=96, H=64, seed=0, texture_octaves=0):
     rng = np.random.default_rng(seed)
     seq = Path(root) / "synth" / "synth"
     seq.mkdir(parents=True)
@@ -27,12 +27,19 @@ def make_sequence(root, n_frames=4, W=96, H=64, seed=0):
     yy, xx = np.meshgrid(np.linspace(0, 1, H), np.linspace(0, 1, W), indexing="ij")
     bg = np.stack([xx, yy, 0.4 + 0.2 * np.sin(7 * xx) * np.cos(5 * yy)], -1)
     bg += rng.normal(0, 0.02, bg.shape)
+    for o in range(texture_octaves):  # extra detail for high-res runs
+        f = 11.0 * 2**o
+        ph = rng.uniform(0, 6.28, 3)
+        bg += (0.25 / 2**o) * np.sin(f * xx[..., None] + 1.7 * f * yy[..., None]
+                                     + ph)
     bg = np.clip(bg, 0, 1).astype(np.float32)
 
-    sq = 14          # square size (px)
-    x0, y0 = 20, 24  # initial square corner
-    vx = 6           # px/frame motion
-    focal = 80.0
+    # geometry scaled off the 96x64 baseline layout
+    sx = W / 96.0
+    sq = max(4, int(round(14 * sx)))    # square size (px)
+    x0, y0 = int(20 * sx), int(24 * H / 64.0)  # initial square corner
+    vx = max(1, int(round(6 * sx)))     # px/frame motion
+    focal = 80.0 * sx
 
     import imageio.v2 as imageio
 

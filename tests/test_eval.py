@@ -107,3 +107,44 @@ def test_psnr_ssim_basics():
     p = psnr(noisy, img)
     assert 15 < p < 25
     assert ssim_metric(noisy, img) < 0.99
+
+
+def test_lpips_convert_load_forward(tmp_path, monkeypatch):
+    """Full LPIPS weight path: torch-keyed state dicts (torchvision AlexNet
+    + LPIPS v0.1 lins, exact released key names) -> convert -> save ->
+    load -> metric forward. Checks metric sanity: 0 for identical images,
+    positive and increasing with distortion."""
+    import numpy as np
+
+    from gflow_tpu.eval import metrics
+    from gflow_tpu.eval.lpips_convert import (convert, expected_torch_keys,
+                                              save_npz)
+
+    rng = np.random.default_rng(0)
+    sd = {k: rng.normal(0, 0.05, s).astype(np.float32)
+          for k, s in expected_torch_keys().items()}
+    # biases small positive so relu features are non-degenerate
+    for k in list(sd):
+        if k.endswith(".bias"):
+            sd[k] = np.abs(sd[k])
+    w = convert(merged_sd=sd)
+    assert set(w) == {f"conv{i}_{t}" for i in range(5) for t in "wb"} | {
+        f"lin{i}_w" for i in range(5)}
+    p = tmp_path / "lpips.npz"
+    save_npz(w, str(p))
+
+    monkeypatch.setenv(metrics.LPIPS_WEIGHTS_ENV, str(p))
+    img = rng.uniform(0, 1, (64, 96, 3)).astype(np.float32)
+    same = metrics.lpips(img, img)
+    near = metrics.lpips(img, np.clip(img + 0.05, 0, 1))
+    far = metrics.lpips(img, np.clip(1 - img, 0, 1))
+    assert same is not None and abs(same) < 1e-6
+    assert near is not None and far is not None
+    assert 0 < near < far
+
+    # missing lins must fail loudly, not produce a partial file
+    import pytest
+
+    bad = {k: v for k, v in sd.items() if not k.startswith("lin3")}
+    with pytest.raises(KeyError):
+        convert(merged_sd=bad)

@@ -76,3 +76,43 @@ def test_trainable_on_known_shift():
         params, state, l = step(params, state)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_convert_load_forward(tmp_path):
+    """Full weight path: torch state dict with the released
+    gmflow-scale2-regrefine6 key names/shapes -> convert -> npz ->
+    prep_flow.load_params -> model.apply, with NO unmatched keys in either
+    direction and structural equality with model.init."""
+    from gflow_tpu.models.unimatch.convert import (convert_state_dict,
+                                                   expected_torch_keys,
+                                                   save_npz)
+    from gflow_tpu.pipeline.prep_flow import load_params
+
+    manifest = expected_torch_keys()
+    rng = np.random.default_rng(0)
+    sd = {k: (rng.normal(0, 0.02, s) / (1 + np.prod(s) ** 0.25)).astype(
+        np.float32) for k, s in manifest.items()}
+    flat = convert_state_dict(sd)
+    p = tmp_path / "unimatch.npz"
+    save_npz(flat, str(p))
+    params = load_params(str(p))
+
+    model = GMFlow(GMFlowConfig())  # released config (scale2-regrefine6)
+    a = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 64, 96, 3)),
+                    jnp.float32)
+    ref = model.init(jax.random.PRNGKey(0), a, a)
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref)[0]
+    got_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert {tuple(k) for k, _ in ref_flat} == {tuple(k) for k, _ in got_flat}
+    for (kp, vref), (_, vgot) in zip(ref_flat, got_flat):
+        assert vref.shape == vgot.shape, (kp, vref.shape, vgot.shape)
+
+    flow = model.apply(params, a, a)
+    assert flow.shape == (1, 64, 96, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+
+    # missing/renamed keys must fail loudly
+    bad = dict(sd)
+    del bad["refine.gru.convz1.weight"]
+    with pytest.raises(KeyError):
+        convert_state_dict(bad)

@@ -139,3 +139,56 @@ def test_global_align_refines_noisy_data():
                        steps1=150, steps2=80)
     _check_rel_poses(res["poses_c2w"], poses, tol=0.08)
     assert res["final_loss"] < 0.01
+
+
+def test_convert_load_forward(tmp_path):
+    """Full weight path: torch state dict with the released checkpoints'
+    exact key names/shapes -> convert -> npz -> prep_depth.load_params ->
+    model.apply, with NO unmatched keys in either direction and structural
+    equality with model.init."""
+    from gflow_tpu.models.mast3r.convert import (convert_state_dict,
+                                                 expected_torch_keys,
+                                                 save_npz)
+    from gflow_tpu.pipeline.prep_depth import load_params
+
+    cfg = Mast3rConfig(patch_size=8, enc_dim=32, enc_depth=2, enc_heads=4,
+                       dec_dim=16, dec_depth=2, dec_heads=4, with_desc=False)
+    manifest = expected_torch_keys(enc_depth=2, dec_depth=2, enc_dim=32,
+                                   dec_dim=16, patch_size=8)
+    rng = np.random.default_rng(0)
+    sd = {k: rng.normal(0, 0.02, s).astype(np.float32)
+          for k, s in manifest.items()}
+    # checkpoint-only extras must be ignored, not fatal
+    sd["mask_token"] = np.zeros((1, 1, 32), np.float32)
+
+    flat = convert_state_dict(sd, enc_depth=2, dec_depth=2)
+    p = tmp_path / "mast3r.npz"
+    save_npz(flat, str(p))
+    params = load_params(str(p))
+
+    model = Mast3rModel(cfg)
+    a = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 16, 24, 3)),
+                    jnp.float32)
+    ref = model.init(jax.random.PRNGKey(0), a, a)
+    # exact tree-structure match (same paths, same shapes)
+    ref_paths = {tuple(k) for k, _ in
+                 jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_paths = {tuple(k) for k, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths
+    for (kp, vref), (_, vgot) in zip(
+        jax.tree_util.tree_flatten_with_path(ref)[0],
+        jax.tree_util.tree_flatten_with_path(params)[0],
+    ):
+        assert vref.shape == vgot.shape, (kp, vref.shape, vgot.shape)
+
+    o1, o2 = model.apply(params, a, a)
+    assert o1["pts3d"].shape == (1, 16, 24, 3)
+    assert np.isfinite(np.asarray(o1["pts3d"])).all()
+
+    # a renamed/missing key must fail loudly
+    bad = dict(sd)
+    bad["enc_blocks.0.attn.qkv.weight"] = bad.pop("enc_blocks.0.attn.qkv.weight")
+    del bad["dec_norm.weight"]
+    with pytest.raises(KeyError):
+        convert_state_dict(bad, enc_depth=2, dec_depth=2)
