@@ -1,2 +1,2 @@
-from .mesh import make_mesh, tile_sharded_composite_constraint
+from .mesh import make_mesh, sharded_batch_apply
 from .multichip import sharded_train_step, dryrun_step

@@ -39,17 +39,24 @@ def make_mesh(n_devices: int | None = None, data_parallel: int | None = None,
     return Mesh(arr, ("data", "tile"))
 
 
-def tile_sharded_composite_constraint(mesh: Mesh, batched: bool):
-    """Returns a constraint fn applied to (T, ...) per-tile arrays inside the
-    compositor: shards the tile axis across the 'tile' mesh axis (and the
-    leading batch axis across 'data' when batched)."""
-    def constrain(x):
-        if batched:
-            spec = P("data", "tile")
-        else:
-            spec = P("tile")
-        ndim_extra = x.ndim - len(spec)
-        full = P(*spec, *([None] * ndim_extra))
-        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, full))
+def sharded_batch_apply(fn, mesh: Mesh, axis: str = "data"):
+    """Wrap a batched pure function (params, *batched_args) -> batched_out
+    so the batch axis is sharded across `axis` of the mesh and params are
+    replicated — the SPMD form for prior-model inference (GMFlow frame
+    pairs / MASt3R edges) across chips. Batch sizes must be divisible by
+    the axis size; callers pad and crop."""
+    batch_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
 
-    return constrain
+    jitted = jax.jit(fn)
+
+    def apply(params, *batched):
+        params = jax.device_put(params, repl)
+        batched = tuple(
+            jax.device_put(x, NamedSharding(mesh, P(axis, *[None] * (x.ndim - 1))))
+            for x in batched
+        )
+        return jitted(params, *batched)
+
+    apply.batch_sharding = batch_sharding
+    return apply

@@ -169,10 +169,13 @@ def _flat_tile_constraint(mesh: Mesh):
 
 
 def dryrun_step(mesh: Mesh, B: int = None, W: int = 64, H: int = 48,
-                capacity: int = 512, seed: int = 0):
-    """Build tiny batched inputs, jit the full sharded training step over the
+                capacity: int = 512, seed: int = 0,
+                max_per_tile: int = 64, max_tiles_per_gaussian: int = 16):
+    """Build batched inputs, jit the full sharded training step over the
     mesh, run ONE step, and sanity-check the outputs. Used by
-    __graft_entry__.dryrun_multichip."""
+    __graft_entry__.dryrun_multichip (tiny shapes) and the full-scale
+    memory-evidence run (854x480, 64k capacity — scripts/fullscale_multichip
+    / tests/test_multichip.py::test_fullscale_step)."""
     import numpy as np
 
     from ..opt.losses import LossWeights
@@ -212,7 +215,8 @@ def dryrun_step(mesh: Mesh, B: int = None, W: int = 64, H: int = 48,
 
     cfg = StageConfig(
         W=W, H=H, iterations=1,
-        render=RenderConfig(max_per_tile=64, max_tiles_per_gaussian=16),
+        render=RenderConfig(max_per_tile=max_per_tile,
+                            max_tiles_per_gaussian=max_tiles_per_gaussian),
     )
     dyn = StageDynamics.make(lr=1e-2, lr_camera=1e-3,
                              weights=LossWeights.make(rgb=1.0, depth=0.1))

@@ -36,10 +36,15 @@ def load_params(path=None):
 
 
 def main(img_dir: str, checkpoint: str = None, inference_size: int = 512,
-         seg_size: int = 200, winsize: int = 3):
+         seg_size: int = 200, winsize: int = 3, mesh_devices: int = 0,
+         model=None, params=None):
+    """mesh_devices > 0 shards the logwin pair-graph inference (the offline
+    hot loop, SURVEY 2.3(i)) across a device mesh's data axis — one edge
+    per chip. model/params injectable for tests with tiny configs."""
     import jax
 
-    params = load_params(checkpoint)
+    if params is None:
+        params = load_params(checkpoint)
     if params is None:
         raise FileNotFoundError(
             "no MASt3R checkpoint: pass --checkpoint or set "
@@ -56,10 +61,24 @@ def main(img_dir: str, checkpoint: str = None, inference_size: int = 512,
     paths = sorted(glob.glob(os.path.join(img_dir, "*.jpg"))) + sorted(
         glob.glob(os.path.join(img_dir, "*.png"))
     )
-    # DUSt3R linear checkpoints carry no descriptor head (convert.py)
-    with_desc = "desc_proj" in params["params"].get("downstream_head1", {})
-    model = Mast3rModel(Mast3rConfig(with_desc=with_desc))
-    apply = jax.jit(model.apply)
+    if model is None:
+        # DUSt3R linear checkpoints carry no descriptor head (convert.py)
+        with_desc = "desc_proj" in params["params"].get("downstream_head1", {})
+        model = Mast3rModel(Mast3rConfig(with_desc=with_desc))
+
+    import jax.numpy as jnp
+
+    if mesh_devices:
+        from ..parallel import make_mesh, sharded_batch_apply
+
+        mesh = make_mesh(mesh_devices, data_parallel=mesh_devices)
+        B = mesh.shape["data"]
+        run_batch = sharded_batch_apply(
+            lambda p, a, b: model.apply(p, a, b), mesh)
+    else:
+        B = 1
+        jitted = jax.jit(model.apply)
+        run_batch = lambda p, a, b: jitted(p, a, b)
 
     for c0 in range(0, len(paths), seg_size):
         chunk = paths[c0 : c0 + seg_size]
@@ -70,16 +89,23 @@ def main(img_dir: str, checkpoint: str = None, inference_size: int = 512,
 
         pairs = make_pairs_logwin(len(chunk), winsize)
         edge_preds = {}
-        import jax.numpy as jnp
-
-        for (i, j) in pairs:
-            o1, o2 = apply(params, jnp.asarray(imgs[i])[None],
-                           jnp.asarray(imgs[j])[None])
-            edge_preds[(i, j)] = (
-                {k: np.asarray(v)[0] for k, v in o1.items()},
-                {k: np.asarray(v)[0] for k, v in o2.items()},
-            )
-            print_color(f"[mast3r] pair ({c0+i},{c0+j}) done")
+        for e0 in range(0, len(pairs), B):
+            batch = pairs[e0 : e0 + B]
+            n_real = len(batch)
+            while len(batch) < B:  # pad tail batch (results discarded)
+                batch.append(batch[-1])
+            A = jnp.asarray(np.stack([imgs[i] for i, _ in batch]), jnp.float32)
+            Bi = jnp.asarray(np.stack([imgs[j] for _, j in batch]), jnp.float32)
+            o1, o2 = run_batch(params, A, Bi)
+            o1 = {k: np.asarray(v) for k, v in o1.items()}
+            o2 = {k: np.asarray(v) for k, v in o2.items()}
+            for bi in range(n_real):
+                i, j = batch[bi]
+                edge_preds[(i, j)] = (
+                    {k: v[bi] for k, v in o1.items()},
+                    {k: v[bi] for k, v in o2.items()},
+                )
+                print_color(f"[mast3r] pair ({c0+i},{c0+j}) done")
 
         res = global_align(edge_preds, len(chunk), (H, W))
 

@@ -33,11 +33,17 @@ def load_params(path=None):
 
 
 def main(img_dir: str, checkpoint: str = None, resize: int = None,
-         padding_factor: int = 32):
+         padding_factor: int = 32, mesh_devices: int = 0, model=None,
+         params=None):
+    """mesh_devices > 0 shards directed frame-pair batches across a device
+    mesh's data axis (SURVEY 2.3(i): prior-model inference is the offline
+    hot loop — one directed pair per chip). model/params injectable for
+    tests with tiny configs."""
     import jax
     import jax.numpy as jnp
 
-    params = load_params(checkpoint)
+    if params is None:
+        params = load_params(checkpoint)
     if params is None:
         raise FileNotFoundError(
             "no UniMatch checkpoint: pass --checkpoint or set "
@@ -49,11 +55,20 @@ def main(img_dir: str, checkpoint: str = None, resize: int = None,
     paths = sorted(glob.glob(os.path.join(str(img_dir), "*.jpg"))) + sorted(
         glob.glob(os.path.join(str(img_dir), "*.png"))
     )
-    model = GMFlow(GMFlowConfig(padding_factor=padding_factor))
+    if model is None:
+        model = GMFlow(GMFlowConfig(padding_factor=padding_factor))
 
-    @jax.jit
-    def run(p, a, b):
-        return model.apply(p, a, b)
+    if mesh_devices:
+        from ..parallel import make_mesh, sharded_batch_apply
+
+        mesh = make_mesh(mesh_devices, data_parallel=mesh_devices)
+        B = mesh.shape["data"]
+        run_batch = sharded_batch_apply(
+            lambda p, a, b: model.apply(p, a, b), mesh)
+    else:
+        B = 1
+        jitted = jax.jit(model.apply)
+        run_batch = lambda p, a, b: jitted(p, a, b)
 
     def pad_to(img):
         H, W = img.shape[:2]
@@ -61,21 +76,43 @@ def main(img_dir: str, checkpoint: str = None, resize: int = None,
         pw = -W % padding_factor
         return np.pad(img, ((0, ph), (0, pw), (0, 0))), (H, W)
 
+    # directed jobs: (pair index, direction); fwd and bwd of each pair are
+    # independent inferences that batch across the mesh
+    jobs = []
+    sizes = {}
     for i in range(len(paths) - 1):
         a = load_image(paths[i], resize=resize)
         b = load_image(paths[i + 1], resize=resize)
-        ap, (H, W) = pad_to(a)
+        ap, hw = pad_to(a)
         bp, _ = pad_to(b)
-        fwd = np.asarray(run(params, ap[None], bp[None]))[0, :H, :W]
-        bwd = np.asarray(run(params, bp[None], ap[None]))[0, :H, :W]
+        sizes[i] = hw
+        jobs.append(((i, "fwd"), ap, bp))
+        jobs.append(((i, "bwd"), bp, ap))
+
+    flows = {}
+    for c0 in range(0, len(jobs), B):
+        chunk = jobs[c0 : c0 + B]
+        n_real = len(chunk)
+        while len(chunk) < B:  # pad the tail batch (results discarded)
+            chunk.append(chunk[-1])
+        A = jnp.asarray(np.stack([c[1] for c in chunk]), jnp.float32)
+        Bm = jnp.asarray(np.stack([c[2] for c in chunk]), jnp.float32)
+        out = np.asarray(run_batch(params, A, Bm))
+        for k in range(n_real):
+            (i, d), _, _ = chunk[k]
+            H, W = sizes[i]
+            flows[(i, d)] = out[k, :H, :W]
+
+    import imageio.v2 as imageio
+
+    for i in range(len(paths) - 1):
+        fwd, bwd = flows[(i, "fwd")], flows[(i, "bwd")]
         occ_f, occ_b = forward_backward_consistency(
             jnp.asarray(fwd)[None], jnp.asarray(bwd)[None]
         )
         name = os.path.splitext(os.path.basename(paths[i]))[0]
         write_flow(os.path.join(out_dir, f"{name}_pred.flo"), fwd)
         write_flow(os.path.join(out_dir, f"{name}_pred_bwd.flo"), bwd)
-        import imageio.v2 as imageio
-
         imageio.imwrite(
             os.path.join(out_dir, f"{name}_occ_bwd.png"),
             (np.asarray(occ_b)[0] * 255).astype(np.uint8),

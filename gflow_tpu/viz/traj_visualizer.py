@@ -22,13 +22,26 @@ class TrajVisualizer:
         self.tracks_leave_trace = tracks_leave_trace  # -1 = full history
         self.mode = mode
 
-    def _colors(self, n):
+    def _colors(self, tracks, still_length=None, query_frame=0):
+        """Per-track rainbow colors by normalized y position at the query
+        frame (reference traj_visualizer.py:212-221); when still_length
+        splits the track list, the moving tail (indices >= still_length) is
+        re-normalized over its own y-range so moving tracks span the full
+        rainbow separately (traj_visualizer.py:222-231)."""
         import matplotlib
 
         cmap = matplotlib.colormaps["gist_rainbow"]
-        return (np.asarray(cmap(np.linspace(0, 1, max(n, 2)))[:, :3]) * 255).astype(
-            np.uint8
-        )
+        ys = np.asarray(tracks[query_frame, :, 1], np.float64)
+        Q = ys.shape[0]
+
+        def norm(v):
+            lo, hi = v.min(), v.max()
+            return (v - lo) / (hi - lo) if hi > lo else np.full_like(v, 0.5)
+
+        u = norm(ys)
+        if still_length is not None and 0 < still_length < Q:
+            u[still_length:] = norm(ys[still_length:])
+        return (np.asarray(cmap(u))[:, :3] * 255).astype(np.uint8)
 
     def visualize(self, video, tracks, occulasions=None, filename="traj_vis",
                   still_length=None):
@@ -40,7 +53,7 @@ class TrajVisualizer:
         T, Q = tracks.shape[:2]
         if video.shape[0] != T:
             T = min(T, video.shape[0])
-        colors = self._colors(Q)
+        colors = self._colors(tracks, still_length=still_length)
         pad = self.pad_value
 
         frames_out = []

@@ -171,3 +171,35 @@ def test_load_checkpoint_grows_capacity(tmp_path):
     pts = np.asarray(shell.params.xyz[:10])
     uv, d = shell.project_points(pts)
     assert np.asarray(uv).shape == (10, 2)
+
+
+def test_traj_visualizer_still_length_colors(tmp_path):
+    """Rainbow colors follow per-track y at the query frame; with
+    still_length the moving tail is re-normalized over its own y-range
+    (reference gflow/utils/traj_visualizer.py:212-231) — so a moving track
+    whose y sits mid-range globally still gets an extreme rainbow color
+    within the moving group."""
+    from gflow_tpu.viz.traj_visualizer import TrajVisualizer
+
+    T, Q = 3, 6
+    tracks = np.zeros((1, T, Q, 2), np.float32)
+    tracks[0, :, :, 0] = np.linspace(5, 25, Q)[None]
+    # stills span y 0..30; moving tracks bunched at y 14..16
+    tracks[0, :, :4, 1] = np.asarray([0, 10, 20, 30])[None]
+    tracks[0, :, 4:, 1] = np.asarray([14.0, 16.0])[None]
+    video = np.full((1, T, 3, 32, 32), 128, np.uint8)
+
+    tv = TrajVisualizer(save_dir=str(tmp_path), fps=2)
+    c_plain = tv._colors(tracks[0], still_length=None)
+    c_split = tv._colors(tracks[0], still_length=4)
+    # still colors unchanged by the split
+    np.testing.assert_array_equal(c_plain[:4], c_split[:4])
+    # moving tail re-normalized: endpoints of the cmap, not mid-range hues
+    assert not np.array_equal(c_plain[4:], c_split[4:])
+    # render end-to-end with occlusions and the split
+    occ = np.zeros((1, T, Q), bool)
+    occ[0, -1, 0] = True
+    tv.visualize(video=video, tracks=tracks, occulasions=occ,
+                 filename="vis_still", still_length=4)
+    assert (tmp_path / "vis_still.mp4").exists() or any(
+        p.suffix in (".mp4", ".avi") for p in tmp_path.iterdir())
