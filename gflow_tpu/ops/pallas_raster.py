@@ -321,3 +321,97 @@ def composite_tiles_pallas(tile_lists, uv, conic, opacity, features, bg,
         .reshape(n_ty * TILE, n_tx * TILE, F)
     )
     return img[:H, :W]
+
+
+# ---------------------------------------------------------------------------
+# Fused main-composite + moving-coverage (camera-only stage)
+# ---------------------------------------------------------------------------
+
+
+def _coverage_kernel(cnt_ref, attr_ref, out_ref, *, n_tx):
+    """attr: uv(2) conic(3) opacity(1). out[g] = per-pixel max alpha — the
+    'does any (moving) splat visibly touch this pixel' mask. Equivalent to
+    thresholding a moving-only composite against the background (reference
+    trainer.py:427-451): the front-most contributing splat has positive
+    transmittance, so max-alpha > 0 iff the composite differs from bg."""
+    pid = pl.program_id(0)
+    for g in range(TILE_GROUP):
+        t = pid * TILE_GROUP + g
+        tx0, ty0 = _tile_origin(t, n_tx)
+        count = cnt_ref[pid, g]
+
+        @pl.when(count > 0)
+        def _(g=g, tx0=tx0, ty0=ty0):
+            attrs = attr_ref[g]
+            alpha, _, _, _, _ = _alpha(attrs[:, 0:2], attrs[:, 2:5],
+                                       attrs[:, 5:6], tx0, ty0)
+            out_ref[g] = jnp.max(alpha, axis=0)[:, None]
+
+        @pl.when(count <= 0)
+        def _(g=g):
+            out_ref[g] = jnp.zeros((P_PIX, 1), jnp.float32)
+
+
+def composite_with_coverage_pallas(tile_lists, uv, conic, opacity, features,
+                                   mov, bg, W, H, n_tx, n_ty,
+                                   tile_counts=None):
+    """Camera-only stage fast path: ONE row gather feeds both the main
+    composite (differentiable) and the moving-coverage mask (stop-grad,
+    max-alpha kernel — no transmittance scan). Returns (img (H,W,F),
+    coverage (H,W,1) with >0 where moving splats visibly land)."""
+    T, K = tile_lists.shape
+    F = features.shape[1]
+    bg_vec = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (F,))
+
+    if tile_counts is None:
+        counts = jnp.sum(tile_lists >= 0, axis=1).astype(jnp.int32)
+    else:
+        counts = jnp.minimum(tile_counts, K).astype(jnp.int32)
+
+    T_pad = -(-T // TILE_GROUP) * TILE_GROUP
+    if T_pad != T:
+        tile_lists = jnp.concatenate(
+            [tile_lists, jnp.full((T_pad - T, K), -1, tile_lists.dtype)], 0
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((T_pad - T,), counts.dtype)], 0
+        )
+
+    valid = tile_lists >= 0
+    safe = jnp.where(valid, tile_lists, 0)
+    attrs = jnp.concatenate([uv, conic, opacity, features, mov], axis=1)
+    g_attrs = attrs[safe]  # ONE wide gather, CA = 6+F+1
+    vmask = valid[..., None].astype(attrs.dtype)
+    g_attrs = g_attrs.at[..., 5:6].multiply(vmask)
+
+    img_flat = _packed_composite(g_attrs[..., : 6 + F], counts, bg_vec,
+                                 n_tx)[:T]
+
+    cov_in = jax.lax.stop_gradient(
+        jnp.concatenate(
+            [g_attrs[..., :5], g_attrs[..., 5:6] * g_attrs[..., 6 + F:]],
+            axis=-1,
+        )
+    )
+    G = T_pad // TILE_GROUP
+    cov_flat = pl.pallas_call(
+        functools.partial(_coverage_kernel, n_tx=n_tx),
+        grid=(G,),
+        in_specs=[_cnt_spec(G), _block(K, 6)],
+        out_specs=pl.BlockSpec((TILE_GROUP, P_PIX, 1), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, P_PIX, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(counts.reshape(G, TILE_GROUP), cov_in)[:T]
+
+    def unflatten(out, C):
+        img = (
+            out.reshape(n_ty, n_tx, TILE, TILE, C)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(n_ty * TILE, n_tx * TILE, C)
+        )
+        return img[:H, :W]
+
+    return unflatten(img_flat, F), unflatten(cov_flat, 1)

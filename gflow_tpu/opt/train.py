@@ -108,15 +108,10 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
         max_per_tile=cfg.render.max_per_tile,
         max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
     )
+    from ..ops.render import resolve_backend
+
     compose = _get_compositor(cfg.render)
     feats = jnp.concatenate([rgb, depth], axis=1)  # fused rgb + depth pass
-    img = compose(
-        bins.tile_lists, uv, conic, opacity, feats, cfg.bg,
-        cfg.W, cfg.H, n_tx, n_ty, tile_counts=bins.tile_counts,
-    )
-    rendered_rgb = img[..., :3]
-    rendered_depth = img[..., 3:4]
-
     move_mask = targets.move_mask
     if cfg.camera_only:
         # augment with the rendered moving-Gaussian coverage
@@ -125,16 +120,39 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
             (jnp.arange(params.capacity) < state.last_num)
             & ~state.still_mask_tentative
         )[:, None]
-        cov = compose(
-            bins.tile_lists,
-            jax.lax.stop_gradient(uv),
-            jax.lax.stop_gradient(conic),
-            jax.lax.stop_gradient(opacity) * mov,
-            jnp.ones_like(depth),
-            0.0,
+        if resolve_backend(cfg.render) == "pallas":
+            # fast path: ONE gather feeds both the composite and a
+            # max-alpha coverage kernel (no second full composite)
+            from ..ops.pallas_raster import composite_with_coverage_pallas
+
+            img, cov = composite_with_coverage_pallas(
+                bins.tile_lists, uv, conic, opacity, feats,
+                mov.astype(jnp.float32), cfg.bg, cfg.W, cfg.H, n_tx, n_ty,
+                tile_counts=bins.tile_counts,
+            )
+            move_mask = move_mask | (cov[..., 0] > 0)
+        else:
+            img = compose(
+                bins.tile_lists, uv, conic, opacity, feats, cfg.bg,
+                cfg.W, cfg.H, n_tx, n_ty, tile_counts=bins.tile_counts,
+            )
+            cov = compose(
+                bins.tile_lists,
+                jax.lax.stop_gradient(uv),
+                jax.lax.stop_gradient(conic),
+                jax.lax.stop_gradient(opacity) * mov,
+                jnp.ones_like(depth),
+                0.0,
+                cfg.W, cfg.H, n_tx, n_ty, tile_counts=bins.tile_counts,
+            )
+            move_mask = move_mask | (cov[..., 0] > 0)
+    else:
+        img = compose(
+            bins.tile_lists, uv, conic, opacity, feats, cfg.bg,
             cfg.W, cfg.H, n_tx, n_ty, tile_counts=bins.tile_counts,
         )
-        move_mask = move_mask | (cov[..., 0] > 0)
+    rendered_rgb = img[..., :3]
+    rendered_depth = img[..., 3:4]
 
     state_n = state._replace(n_alive=n_alive)
     total, metrics, loss_rgb_pixel = compute_losses(

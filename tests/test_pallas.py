@@ -65,3 +65,34 @@ def test_pallas_gradients_match_xla():
         np.testing.assert_allclose(
             np.asarray(b) / ref, np.asarray(a) / ref, atol=5e-4
         )
+
+
+def test_fused_coverage_matches_two_pass():
+    """The camera-only fast path (one gather + max-alpha coverage kernel)
+    must agree with the two-composite formulation: identical main image,
+    identical coverage-mask support."""
+    from gflow_tpu.ops.pallas_raster import composite_with_coverage_pallas
+
+    proj, bins, opacity, feats, n_tx, n_ty, W, H = setup(seed=2)
+    n = opacity.shape[0]
+    rng = np.random.default_rng(3)
+    mov = (rng.uniform(size=(n, 1)) < 0.4).astype(np.float32)
+    mov_j = jnp.asarray(mov)
+
+    img_ref = composite_tiles_pallas(
+        bins.tile_lists, proj["uv"], proj["conic"], opacity, feats, 0.25,
+        W, H, n_tx, n_ty, tile_counts=bins.tile_counts)
+    cov_ref = composite_tiles_pallas(
+        bins.tile_lists, proj["uv"], proj["conic"], opacity * mov_j,
+        jnp.ones((n, 1)), 0.0, W, H, n_tx, n_ty,
+        tile_counts=bins.tile_counts)
+
+    img, cov = composite_with_coverage_pallas(
+        bins.tile_lists, proj["uv"], proj["conic"], opacity, feats, mov_j,
+        0.25, W, H, n_tx, n_ty, tile_counts=bins.tile_counts)
+
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               atol=1e-5, rtol=1e-5)
+    # coverage SUPPORT equivalence (max-alpha > 0 iff composite > bg=0)
+    np.testing.assert_array_equal(np.asarray(cov[..., 0]) > 0,
+                                  np.asarray(cov_ref[..., 0]) > 1e-6)
