@@ -42,6 +42,9 @@ class Mast3rConfig:
     rope_base: float = 100.0
     desc_dim: int = 24
     with_desc: bool = True
+    # 'linear' (DUSt3R *_linear) or 'catmlp+dpt' (the MASt3R checkpoints the
+    # reference loads — utility/depth_mast3r.py:46-48)
+    head: str = "linear"
 
 
 def _gelu(x):
@@ -167,38 +170,34 @@ class DecoderBlock(nn.Module):
 
 class LinearHead(nn.Module):
     """DUSt3R linear head (downstream_head{i}.proj): tokens -> per-pixel
-    (pts3d(3) + conf(1)). pts z is exp-activated positive; conf is 1 + exp.
+    (pts3d(3) + conf(1)) via channel-major pixel shuffle (torch
+    F.pixel_shuffle ordering — dust3r LinearPts3d), then the 'exp' dense
+    regression: pts = unit(xyz) * expm1(|xyz|), conf = 1 + exp.
     Optional descriptor extension (desc_proj) for MASt3R-style outputs."""
 
     cfg: Mast3rConfig
 
     @nn.compact
     def __call__(self, x, hw, img_hw):
+        from .dpt_head import pixel_shuffle_tokens, reg_dense_pts3d
+
         c = self.cfg
         p = c.patch_size
         h, w = hw
         H, W = img_hw
-        out_ch = (3 + 1) * p * p
-        y = nn.Dense(out_ch, name="proj")(x)  # (B, N, out)
-        B = y.shape[0]
-        y = y.reshape(B, h, w, p, p, 4).transpose(0, 1, 3, 2, 4, 5)
-        y = y.reshape(B, h * p, w * p, 4)[:, :H, :W]
-        xy = y[..., 0:2]
-        z = jnp.exp(jnp.clip(y[..., 2:3], -10.0, 10.0))
-        pts = jnp.concatenate([xy * z, z], axis=-1)
-        conf = 1.0 + jnp.exp(jnp.clip(y[..., 3:4], -10.0, 10.0))
+        y = nn.Dense((3 + 1) * p * p, name="proj")(x)  # (B, N, out)
+        y = pixel_shuffle_tokens(y, h, w, 4, p)[:, :H, :W]
+        pts = reg_dense_pts3d(y[..., :3])
+        conf = 1.0 + jnp.exp(jnp.clip(y[..., 3:4], -20.0, 20.0))
         out = {"pts3d": pts, "conf": conf}
         if c.with_desc:
             d = nn.Dense((c.desc_dim + 1) * p * p, name="desc_proj")(x)
-            d = d.reshape(B, h, w, p, p, c.desc_dim + 1)
-            d = d.transpose(0, 1, 3, 2, 4, 5).reshape(
-                B, h * p, w * p, c.desc_dim + 1
-            )[:, :H, :W]
+            d = pixel_shuffle_tokens(d, h, w, c.desc_dim + 1, p)[:, :H, :W]
             desc = d[..., : c.desc_dim]
             out["desc"] = desc / jnp.maximum(
                 jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
             )
-            out["desc_conf"] = 1.0 + jnp.exp(jnp.clip(d[..., -1:], -10, 10))
+            out["desc_conf"] = 1.0 + jnp.exp(jnp.clip(d[..., -1:], -20, 20))
         return out
 
 
@@ -239,15 +238,36 @@ class Mast3rModel(nn.Module):
         embed = nn.Dense(c.dec_dim, name="decoder_embed")
         x1, x2 = embed(t1), embed(t2)
         dec_norm = nn.LayerNorm(name="dec_norm")
+        # decout lists, dust3r convention: [encoder tokens, block1, ...,
+        # blockN (dec_norm'd)] — the DPT head hooks into these
+        outs1, outs2 = [t1], [t2]
         for i in range(c.dec_depth):
             b1 = DecoderBlock(c.dec_dim, c.dec_heads, c.rope_base,
                               name=f"dec_blocks_{i}")
             b2 = DecoderBlock(c.dec_dim, c.dec_heads, c.rope_base,
                               name=f"dec_blocks2_{i}")
             x1, x2 = b1(x1, x2, pos, pos), b2(x2, x1, pos, pos)
+            outs1.append(x1)
+            outs2.append(x2)
         d1, d2 = dec_norm(x1), dec_norm(x2)
+        outs1[-1], outs2[-1] = d1, d2
 
         img_hw = (H, W)
-        out1 = LinearHead(c, name="downstream_head1")(d1, hw, img_hw)
-        out2 = LinearHead(c, name="downstream_head2")(d2, hw, img_hw)
+        if c.head == "catmlp+dpt":
+            from .dpt_head import CatMlpDptHead
+
+            ld = c.dec_depth
+            hooks = (0, ld * 2 // 4, ld * 3 // 4, ld)
+            dims = tuple(c.enc_dim if h == 0 else c.dec_dim for h in hooks)
+            h1 = CatMlpDptHead(dim_tokens=dims, patch_size=p,
+                               local_feat_dim=c.desc_dim,
+                               name="downstream_head1")
+            h2 = CatMlpDptHead(dim_tokens=dims, patch_size=p,
+                               local_feat_dim=c.desc_dim,
+                               name="downstream_head2")
+            out1 = h1([outs1[k] for k in hooks], t1, d1, hw, img_hw)
+            out2 = h2([outs2[k] for k in hooks], t2, d2, hw, img_hw)
+        else:
+            out1 = LinearHead(c, name="downstream_head1")(d1, hw, img_hw)
+            out2 = LinearHead(c, name="downstream_head2")(d2, hw, img_hw)
         return out1, out2

