@@ -71,15 +71,18 @@ class ResidualBlock(nn.Module):
     def __call__(self, x):
         inorm = lambda name: nn.GroupNorm(num_groups=None, group_size=1,
                                           use_scale=False, use_bias=False,
+                                          epsilon=1e-5,  # torch IN default
                                           name=name)
+        # explicit symmetric padding: flax 'SAME' pads asymmetrically for
+        # strided convs on even inputs — torch uses padding=1 both sides
         y = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride),
-                    name="conv1")(x)
+                    padding=1, name="conv1")(x)
         y = nn.relu(inorm("norm1")(y))
-        y = nn.Conv(self.ch, (3, 3), name="conv2")(y)
+        y = nn.Conv(self.ch, (3, 3), padding=1, name="conv2")(y)
         y = nn.relu(inorm("norm2")(y))
         if self.stride != 1 or x.shape[-1] != self.ch:
             x = nn.Conv(self.ch, (1, 1), strides=(self.stride, self.stride),
-                        name="downsample")(x)
+                        padding="VALID", name="downsample")(x)
             x = inorm("norm3")(x)
         return nn.relu(x + y)
 
@@ -113,8 +116,9 @@ class CNNEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         inorm = nn.GroupNorm(num_groups=None, group_size=1, use_scale=False,
-                             use_bias=False, name="norm1")
-        x = nn.Conv(64, (7, 7), strides=(2, 2), name="conv1")(x)  # 1/2
+                             use_bias=False, epsilon=1e-5, name="norm1")
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                    name="conv1")(x)  # 1/2 (torch padding=3, symmetric)
         x = nn.relu(inorm(x))
         x = ResidualBlock(64, name="layer1_0")(x)
         x = ResidualBlock(64, name="layer1_1")(x)
@@ -261,18 +265,30 @@ def global_correlation_softmax(feat0, feat1):
 
 
 def local_correlation_softmax(feat0, feat1, radius: int):
-    """Windowed matching within +-radius (GMFlow local variant)."""
+    """Windowed matching within +-radius (GMFlow local variant). Offsets
+    that land outside the image are EXCLUDED from the softmax (upstream
+    masks them to -1e9 — matching released-weight behavior; zero-padded
+    correlations would otherwise steal exp(0) probability mass)."""
     B, H, W, C = feat0.shape
     r = radius
     pad = jnp.pad(feat1, ((0, 0), (r, r), (r, r), (0, 0)))
-    shifts = []
-    offs = []
+    xs = jnp.arange(W)[None, :]
+    ys = jnp.arange(H)[:, None]
+    shifts, offs, valids = [], [], []
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             shifts.append(pad[:, r + dy : r + dy + H, r + dx : r + dx + W])
             offs.append((dx, dy))
+            valids.append(
+                jnp.broadcast_to(
+                    (xs + dx >= 0) & (xs + dx <= W - 1)
+                    & (ys + dy >= 0) & (ys + dy <= H - 1), (H, W)
+                )
+            )
     f1s = jnp.stack(shifts, axis=3)  # (B, H, W, d*d, C)
+    valid = jnp.stack(valids, axis=-1)[None]  # (1, H, W, d*d)
     corr = jnp.einsum("bhwc,bhwkc->bhwk", feat0, f1s) / jnp.sqrt(C)
+    corr = jnp.where(valid, corr, -1e9)
     prob = jax.nn.softmax(corr, axis=-1)
     off = jnp.asarray(offs, jnp.float32)  # (d*d, 2) [dx, dy]
     flow = jnp.einsum("bhwk,kc->bhwc", prob, off)
@@ -320,7 +336,9 @@ class SelfAttnPropagation(nn.Module):
 
 
 def _bilinear_sample(img, coords):
-    """img (B, H, W, C), coords (B, H, W, 2) absolute xy -> sampled."""
+    """img (B, H, W, C), coords (B, H, W, 2) absolute xy -> sampled.
+    Out-of-bounds corners contribute ZERO (torch grid_sample
+    padding_mode='zeros', the mode upstream flow_warp uses)."""
     B, H, W, C = img.shape
     x = coords[..., 0]
     y = coords[..., 1]
@@ -330,9 +348,11 @@ def _bilinear_sample(img, coords):
     wy = y - y0
 
     def gather(xi, yi):
-        xi = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
-        return jax.vmap(lambda im, yy, xx: im[yy, xx])(img, yi, xi)
+        inb = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1))
+        xc = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
+        yc = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
+        v = jax.vmap(lambda im, yy, xx: im[yy, xx])(img, yc, xc)
+        return v * inb[..., None].astype(img.dtype)
 
     v00 = gather(x0, y0)
     v01 = gather(x0 + 1, y0)
@@ -418,19 +438,24 @@ class BasicUpdateBlock(nn.Module):
 
 
 def upsample_flow_with_mask(flow, mask, factor: int):
-    """RAFT convex upsampling: mask (B, H, W, f*f*9) softmaxed over the 3x3
-    neighborhood of the (x factor scaled) coarse flow."""
+    """RAFT convex upsampling: mask (B, H, W, 9*f*f) softmaxed over the 3x3
+    neighborhood of the (x factor scaled) coarse flow.
+
+    Channel order follows torch's `mask.view(b, 1, 9, f, f, h, w)` (RAFT /
+    unimatch upsample_flow_with_mask): the 9-neighborhood is the MAJOR
+    axis, the f*f sub-pixel position minor — converted released weights
+    depend on this."""
     B, H, W, _ = flow.shape
     f = factor
-    mask = mask.reshape(B, H, W, f * f, 9)
-    mask = jax.nn.softmax(mask, axis=-1)
+    mask = mask.reshape(B, H, W, 9, f * f)
+    mask = jax.nn.softmax(mask, axis=3)
     pad = jnp.pad(flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
     neigh = jnp.stack(
         [pad[:, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
          for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
         axis=3,
     )  # (B, H, W, 9, 2)
-    up = jnp.einsum("bhwkn,bhwnc->bhwkc", mask, neigh) * f
+    up = jnp.einsum("bhwnk,bhwnc->bhwkc", mask, neigh) * f
     up = up.reshape(B, H, W, f, f, 2)
     up = up.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * f, W * f, 2)
     return up
@@ -475,9 +500,19 @@ class GMFlow(nn.Module):
                 grid = _coords_grid(B, f0.shape[1], f0.shape[2])
                 f1 = _bilinear_sample(f1, grid + flow)
 
-            pos = position_embedding_sine(
-                f0.shape[1], f0.shape[2], cfg.feature_channels)[None]
-            f0t, f1t = tr(f0 + pos, f1 + pos, cfg.attn_splits_list[s])
+            # upstream feature_add_position: with attn_splits > 1 the sine
+            # embedding is computed PER WINDOW and added inside each split
+            # (positions restart per window) — tile the window embedding
+            sp = cfg.attn_splits_list[s]
+            if sp > 1:
+                pw = position_embedding_sine(
+                    f0.shape[1] // sp, f0.shape[2] // sp,
+                    cfg.feature_channels)
+                pos = jnp.tile(pw, (sp, sp, 1))[None]
+            else:
+                pos = position_embedding_sine(
+                    f0.shape[1], f0.shape[2], cfg.feature_channels)[None]
+            f0t, f1t = tr(f0 + pos, f1 + pos, sp)
 
             radius = cfg.corr_radius_list[s]
             if radius < 0:

@@ -146,6 +146,13 @@ def _fwd_kernel(cnt_ref, attr_ref, bg_ref, *out_refs, n_tx, F, with_cov):
             op = attrs[:, 5:6]
             feat = attrs[:, 6:6 + F]
             alpha, _, _, _, _ = _alpha(uv, conic, op, tx0, ty0)
+            # packed lists are contiguous: slots >= count hold garbage
+            # (clamped gathers of row 0) — zero them HERE instead of an
+            # XLA-side masked opacity write (profiled 2x0.5 ms/iter of
+            # dynamic-update-slice over the whole (T,K,CA) pack)
+            K = attrs.shape[0]
+            alive = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) < count
+            alpha = jnp.where(alive, alpha, 0.0)
             t_excl = _cumprod_excl(1.0 - alpha)
             w = alpha * t_excl  # (K, P)
             out = jnp.dot(w.T, feat, preferred_element_type=jnp.float32,
@@ -186,6 +193,9 @@ def _bwd_kernel(cnt_ref, attr_ref, bg_ref, g_ref, dattr_ref, *, n_tx, F,
             g = g_ref[g_i]  # (P, F)
 
             alpha, raw, dmask, dx, dy = _alpha(uv, conic, op, tx0, ty0)
+            alive = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) < count
+            alpha = jnp.where(alive, alpha, 0.0)
+            dmask = dmask & alive  # garbage slots: zero grads (see fwd)
             om = 1.0 - alpha
             t_excl = _cumprod_excl(om)
             w = alpha * t_excl
@@ -202,18 +212,32 @@ def _bwd_kernel(cnt_ref, attr_ref, bg_ref, g_ref, dattr_ref, *, n_tx, F,
 
             # raw = op * exp(power)
             dpower = d_raw * raw
-            exp_p = jnp.where(op > 0, raw / jnp.maximum(op, 1e-20), 0.0)
-            dop = jnp.sum(d_raw * exp_p, axis=1, keepdims=True)
+            # d_raw * exp(power) == dpower / op with op constant per
+            # gaussian: one moment sum + (K,1) divide replaces a (K,P)
+            # divide + multiply + its own reduction
+            s0 = jnp.sum(dpower, axis=1, keepdims=True)
+            dop = jnp.where(op > 0, s0 / jnp.maximum(op, 1e-20), 0.0)
 
             a = conic[:, 0:1]
             b = conic[:, 1:2]
             c = conic[:, 2:3]
-            # power = -0.5 (a dx^2 + c dy^2) - b dx dy ; d dx/du = -1
-            du = jnp.sum(dpower * (a * dx + b * dy), axis=1)
-            dv = jnp.sum(dpower * (c * dy + b * dx), axis=1)
-            da = jnp.sum(dpower * (-0.5 * dx * dx), axis=1)
-            db = jnp.sum(dpower * (-dx * dy), axis=1)
-            dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=1)
+            # power = -0.5 (a dx^2 + c dy^2) - b dx dy ; d dx/du = -1.
+            # a/b/c are constant across the tile's pixels, so factor them
+            # OUT of the lane reductions: 5 moment sums replace 5 full
+            # (K, P) integrand builds (profiled: the kernels are elementwise
+            # -bound, not scan-bound — this trims the dominant term).
+            dpx = dpower * dx
+            dpy = dpower * dy
+            s1 = jnp.sum(dpx, axis=1, keepdims=True)
+            s2 = jnp.sum(dpy, axis=1, keepdims=True)
+            s3 = jnp.sum(dpx * dx, axis=1, keepdims=True)
+            s4 = jnp.sum(dpx * dy, axis=1, keepdims=True)
+            s5 = jnp.sum(dpy * dy, axis=1, keepdims=True)
+            du = (a * s1 + b * s2)[:, 0]
+            dv = (c * s2 + b * s1)[:, 0]
+            da = (-0.5 * s3)[:, 0]
+            db = (-s4)[:, 0]
+            dc = (-0.5 * s5)[:, 0]
             dfeat = jnp.dot(w, g, preferred_element_type=jnp.float32,
                             precision=_HI)  # (K, F)
             cols = [du[:, None], dv[:, None], da[:, None], db[:, None],
@@ -332,12 +356,12 @@ def composite_tiles_pallas(tile_lists, uv, conic, opacity, features, bg,
             [counts, jnp.zeros((T_pad - T,), counts.dtype)], 0
         )
 
-    valid = tile_lists >= 0
-    safe = jnp.where(valid, tile_lists, 0)
-    # single wide row gather; invalid entries get opacity 0
+    # single wide row gather; slots >= count gather row 0 harmlessly — the
+    # kernel zeroes their alpha from the per-tile count (packed lists are
+    # contiguous), so no masked-opacity rewrite of the pack is needed
+    safe = jnp.maximum(tile_lists, 0)
     attrs = jnp.concatenate([uv, conic, opacity, features], axis=1)
     g_attrs = attrs[safe]
-    g_attrs = g_attrs.at[..., 5:6].multiply(valid[..., None].astype(attrs.dtype))
 
     out = _packed_composite(g_attrs, counts, bg_vec, n_tx)[:T]
     img = (
@@ -385,12 +409,9 @@ def composite_with_coverage_pallas(tile_lists, uv, conic, opacity, features,
             [counts, jnp.zeros((T_pad - T,), counts.dtype)], 0
         )
 
-    valid = tile_lists >= 0
-    safe = jnp.where(valid, tile_lists, 0)
+    safe = jnp.maximum(tile_lists, 0)  # in-kernel count masking, see above
     attrs = jnp.concatenate([uv, conic, opacity, features, mov], axis=1)
     g_attrs = attrs[safe]  # ONE wide gather, CA = 6+F+1
-    vmask = valid[..., None].astype(attrs.dtype)
-    g_attrs = g_attrs.at[..., 5:6].multiply(vmask)
 
     img_flat, cov_flat = _packed_composite(g_attrs, counts, bg_vec, n_tx,
                                            True)

@@ -66,7 +66,11 @@ def scan_c(x, c=16):  # two-level: segmented local + chunk carries
         e = e * jnp.where(seg >= s + 1, pltpu.roll(e, s, axis=0), 1.0)
         s *= 2
     nc = K // c
-    tot = jnp.prod(x.reshape(nc, c, -1), axis=1)  # (NC, P)
+    tot = x.reshape(nc, c, -1)  # manual tree product (no reduce_prod on TPU)
+    while tot.shape[1] > 1:
+        h = tot.shape[1] // 2
+        tot = tot[:, :h] * tot[:, h:]
+    tot = tot[:, 0]  # (NC, P)
     crow = jax.lax.broadcasted_iota(jnp.int32, tot.shape, 0)
     ce = jnp.where(crow >= 1, pltpu.roll(tot, 1, axis=0), 1.0)
     s = 1

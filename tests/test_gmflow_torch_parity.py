@@ -1,0 +1,202 @@
+"""GMFlow/UniMatch numerics vs torch replicas of the released semantics:
+RAFT convex upsampling channel order, DETR sine embedding, masked local
+correlation, grid_sample zero-padding, the LoFTR-form transformer layer,
+and the instance-normed residual block. Shape tests pass with ANY of these
+wrong; converted released weights only work if all match torch exactly."""
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tn
+import torch.nn.functional as tF
+
+import jax.numpy as jnp
+
+from gflow_tpu.models.unimatch.gmflow import (
+    ResidualBlock, TransformerLayer, _bilinear_sample,
+    local_correlation_softmax, position_embedding_sine,
+    upsample_flow_with_mask)
+
+
+def test_upsample_mask_matches_raft_unfold():
+    rng = np.random.default_rng(0)
+    B, H, W, f = 2, 4, 5, 4
+    flow = rng.normal(size=(B, H, W, 2)).astype(np.float32)
+    mask = rng.normal(size=(B, H, W, 9 * f * f)).astype(np.float32)
+
+    got = upsample_flow_with_mask(jnp.asarray(flow), jnp.asarray(mask), f)
+
+    # torch reference (unimatch utils.upsample_flow_with_mask)
+    tflow = torch.from_numpy(flow).permute(0, 3, 1, 2)
+    tmask = torch.from_numpy(mask).permute(0, 3, 1, 2)
+    m = tmask.view(B, 1, 9, f, f, H, W)
+    m = torch.softmax(m, dim=2)
+    up = tF.unfold(f * tflow, [3, 3], padding=1)
+    up = up.view(B, 2, 9, 1, 1, H, W)
+    up = torch.sum(m * up, dim=2)
+    up = up.permute(0, 1, 4, 2, 5, 3).reshape(B, 2, f * H, f * W)
+    want = up.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
+def test_position_embedding_sine_matches_torch():
+    H, W, C = 6, 8, 32
+    got = np.asarray(position_embedding_sine(H, W, C))
+
+    # torch reference (unimatch position.PositionEmbeddingSine,
+    # normalize=True, scale=2*pi, temperature=10000)
+    npf = C // 2
+    mask = torch.ones(1, H, W)
+    y_embed = mask.cumsum(1)
+    x_embed = mask.cumsum(2)
+    eps, scale = 1e-6, 2 * math.pi
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    dim_t = torch.arange(npf, dtype=torch.float32)
+    dim_t = 10000.0 ** (2 * (torch.div(dim_t, 2, rounding_mode="floor"))
+                        / npf)
+    pos_x = x_embed[:, :, :, None] / dim_t
+    pos_y = y_embed[:, :, :, None] / dim_t
+    pos_x = torch.stack((pos_x[..., 0::2].sin(), pos_x[..., 1::2].cos()),
+                        dim=4).flatten(3)
+    pos_y = torch.stack((pos_y[..., 0::2].sin(), pos_y[..., 1::2].cos()),
+                        dim=4).flatten(3)
+    want = torch.cat((pos_y, pos_x), dim=3)[0].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bilinear_sample_matches_grid_sample_zeros():
+    rng = np.random.default_rng(1)
+    B, H, W, C = 2, 6, 7, 3
+    img = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    coords = rng.uniform(-2, np.array([W + 1, H + 1]),
+                         size=(B, 5, 4, 2)).astype(np.float32)
+
+    got = _bilinear_sample(jnp.asarray(img), jnp.asarray(coords))
+
+    t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
+    xy = torch.from_numpy(coords)
+    grid = torch.stack(
+        [2 * xy[..., 0] / (W - 1) - 1, 2 * xy[..., 1] / (H - 1) - 1], -1)
+    want = tF.grid_sample(t_img, grid, mode="bilinear",
+                          padding_mode="zeros", align_corners=True)
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_local_correlation_softmax_masks_oob():
+    rng = np.random.default_rng(2)
+    B, H, W, C, r = 1, 5, 6, 8, 2
+    f0 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    f1 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    got = np.asarray(local_correlation_softmax(
+        jnp.asarray(f0), jnp.asarray(f1), r))
+
+    # dense torch-style reference with -1e9 OOB masking
+    want = np.zeros((B, H, W, 2), np.float32)
+    for y in range(H):
+        for x in range(W):
+            cs, os_ = [], []
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    xx, yy = x + dx, y + dy
+                    if 0 <= xx < W and 0 <= yy < H:
+                        cs.append(np.dot(f0[0, y, x], f1[0, yy, xx])
+                                  / np.sqrt(C))
+                    else:
+                        cs.append(-1e9)
+                    os_.append((dx, dy))
+            p = np.exp(cs - np.max(cs))
+            p /= p.sum()
+            want[0, y, x] = (p[:, None] * np.asarray(os_)).sum(0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TTransformerLayer(tn.Module):
+    """upstream unimatch TransformerLayer (nhead=1, ffn_dim_expansion=4)."""
+
+    def __init__(self, d):
+        super().__init__()
+        self.q_proj = tn.Linear(d, d, bias=False)
+        self.k_proj = tn.Linear(d, d, bias=False)
+        self.v_proj = tn.Linear(d, d, bias=False)
+        self.merge = tn.Linear(d, d, bias=False)
+        self.norm1 = tn.LayerNorm(d)
+        self.mlp = tn.Sequential(
+            tn.Linear(d * 2, d * 2 * 4, bias=False), tn.GELU(),
+            tn.Linear(d * 2 * 4, d, bias=False))
+        self.norm2 = tn.LayerNorm(d)
+        self.d = d
+
+    def forward(self, source, target):
+        # single global window (attn_splits=1 path)
+        q = self.q_proj(source)
+        k = self.k_proj(target)
+        v = self.v_proj(target)
+        attn = torch.softmax(
+            q @ k.transpose(-2, -1) / self.d ** 0.5, dim=-1)
+        msg = self.norm1(self.merge(attn @ v))
+        msg = self.norm2(self.mlp(torch.cat([source, msg], dim=-1)))
+        return source + msg
+
+
+def test_transformer_layer_matches_torch():
+    torch.manual_seed(0)
+    d, H, W = 16, 4, 6
+    ref = TTransformerLayer(d).eval()
+    lin = lambda m: {"kernel": m.weight.detach().numpy().T}
+    ln = lambda m: {"scale": m.weight.detach().numpy(),
+                    "bias": m.bias.detach().numpy()}
+    params = {
+        "q_proj": lin(ref.q_proj), "k_proj": lin(ref.k_proj),
+        "v_proj": lin(ref.v_proj), "merge": lin(ref.merge),
+        "norm1": ln(ref.norm1), "norm2": ln(ref.norm2),
+        "mlp_0": lin(ref.mlp[0]), "mlp_2": lin(ref.mlp[2]),
+    }
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(1, H, W, d)).astype(np.float32)
+    tgt = rng.normal(size=(1, H, W, d)).astype(np.float32)
+    got = TransformerLayer(d).apply(
+        {"params": params}, jnp.asarray(src), jnp.asarray(tgt), 1)
+    want = ref(torch.from_numpy(src.reshape(1, H * W, d)),
+               torch.from_numpy(tgt.reshape(1, H * W, d)))
+    want = want.detach().numpy().reshape(1, H, W, d)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+class TResBlock(tn.Module):
+    def __init__(self, cin, ch, stride):
+        super().__init__()
+        self.conv1 = tn.Conv2d(cin, ch, 3, stride, 1)
+        self.conv2 = tn.Conv2d(ch, ch, 3, 1, 1)
+        self.norm1 = tn.InstanceNorm2d(ch)
+        self.norm2 = tn.InstanceNorm2d(ch)
+        self.downsample = (tn.Conv2d(cin, ch, 1, stride)
+                           if stride != 1 or cin != ch else None)
+        self.norm3 = tn.InstanceNorm2d(ch)
+
+    def forward(self, x):
+        y = torch.relu(self.norm1(self.conv1(x)))
+        y = torch.relu(self.norm2(self.conv2(y)))
+        if self.downsample is not None:
+            x = self.norm3(self.downsample(x))
+        return torch.relu(x + y)
+
+
+def test_residual_block_matches_torch():
+    torch.manual_seed(2)
+    cin, ch, stride = 8, 12, 2
+    ref = TResBlock(cin, ch, stride).eval()
+    conv = lambda m: {"kernel": m.weight.detach().numpy().transpose(
+        2, 3, 1, 0), "bias": m.bias.detach().numpy()}
+    params = {"conv1": conv(ref.conv1), "conv2": conv(ref.conv2),
+              "downsample": conv(ref.downsample)}
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 8, 10, cin)).astype(np.float32)
+    got = ResidualBlock(ch, stride=stride).apply(
+        {"params": params}, jnp.asarray(x))
+    want = ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+    want = want.detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
