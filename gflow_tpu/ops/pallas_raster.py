@@ -94,18 +94,6 @@ def _cumprod_excl(x):
     return e
 
 
-def _cumsum_excl(x):
-    """Exclusive cumulative sum along axis 0 of (K, P)."""
-    K = x.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    e = jnp.where(row >= 1, pltpu.roll(x, 1, axis=0), 0.0)
-    s = 1
-    while s < K:
-        e = e + jnp.where(row >= s + 1, pltpu.roll(e, s, axis=0), 0.0)
-        s *= 2
-    return e
-
-
 def _cumsum_suffix_excl(x):
     """Exclusive suffix sum along axis 0: S[k] = sum_{j > k} x[j]."""
     K = x.shape[0]

@@ -573,11 +573,15 @@ class GFlowTrainer:
         xyz_now = np.asarray(self.params.xyz)[traj_index]
 
         if self._traj is None:
+            # exact-count ramps: np.arange(0, 1, 1/n) emits n+1 elements for
+            # some n due to float step rounding, desyncing rgb from xyz
             if split_interval is None or num_traj == split_interval:
-                ramp = np.arange(0, 1, 1 / num_traj, dtype=np.float32)[:, None]
+                ramp = (np.arange(num_traj, dtype=np.float32)
+                        / num_traj)[:, None]
             else:
-                r1 = np.arange(0, 1, 1 / split_interval, dtype=np.float32)
-                r2 = np.arange(0, 1, 1 / (num_traj - split_interval), dtype=np.float32)
+                n2 = num_traj - split_interval
+                r1 = np.arange(split_interval, dtype=np.float32) / split_interval
+                r2 = np.arange(n2, dtype=np.float32) / n2
                 ramp = np.concatenate([r1, r2])[:, None]
             rgb = np.asarray(
                 apply_float_colormap(jnp.asarray(ramp), colormap="gist_rainbow")

@@ -193,3 +193,22 @@ def test_eval_traj_reuses_padded_shapes(tmp_path, monkeypatch):
     assert len(shapes) == n_evals
     assert all(n & (n - 1) == 0 for n in shapes), "capacities must be pow2"
     assert len(set(shapes)) < n_evals, "shapes must be reused across evals"
+
+
+def test_eval_traj_float_hazard_counts():
+    """num_traj values where np.arange(0, 1, 1/n) emits n+1 elements (e.g.
+    49, 98, 103) must not desync the color ramp from the anchor points —
+    regression for a crash in the quality harness (rgb one longer than
+    xyz after the first line-set append)."""
+    from gflow_tpu.pipeline import trainer as trmod
+
+    img, depth = synthetic_frame()
+    t = trmod.GFlowTrainer(gt_image=img, gt_depth=depth, num_points=200,
+                           make_logs=False)
+    t.init_gaussians_from_image()
+    idx = np.arange(98)
+    for _ in range(3):
+        t.eval(traj_index=idx, split_interval=49)
+        t.params = t.params._replace(xyz=t.params.xyz + 0.01)
+        tr = t._traj
+        assert len(tr["rgb"]) == len(tr["xyz"]) == len(tr["opacity"])
