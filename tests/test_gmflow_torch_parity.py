@@ -200,3 +200,85 @@ def test_residual_block_matches_torch():
     want = ref(torch.from_numpy(x).permute(0, 3, 1, 2))
     want = want.detach().numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+class TMotionEncoder(tn.Module):
+    def __init__(self, corr_ch):
+        super().__init__()
+        self.convc1 = tn.Conv2d(corr_ch, 256, 1)
+        self.convc2 = tn.Conv2d(256, 192, 3, 1, 1)
+        self.convf1 = tn.Conv2d(2, 128, 7, 1, 3)
+        self.convf2 = tn.Conv2d(128, 64, 3, 1, 1)
+        self.conv = tn.Conv2d(192 + 64, 126, 3, 1, 1)
+
+    def forward(self, flow, corr):
+        c = torch.relu(self.convc2(torch.relu(self.convc1(corr))))
+        f = torch.relu(self.convf2(torch.relu(self.convf1(flow))))
+        out = torch.relu(self.conv(torch.cat([c, f], dim=1)))
+        return torch.cat([out, flow], dim=1)
+
+
+class TSepConvGRU(tn.Module):
+    def __init__(self, hidden=128, inp=128 + 128):
+        super().__init__()
+        self.convz1 = tn.Conv2d(hidden + inp, hidden, (1, 5), padding=(0, 2))
+        self.convr1 = tn.Conv2d(hidden + inp, hidden, (1, 5), padding=(0, 2))
+        self.convq1 = tn.Conv2d(hidden + inp, hidden, (1, 5), padding=(0, 2))
+        self.convz2 = tn.Conv2d(hidden + inp, hidden, (5, 1), padding=(2, 0))
+        self.convr2 = tn.Conv2d(hidden + inp, hidden, (5, 1), padding=(2, 0))
+        self.convq2 = tn.Conv2d(hidden + inp, hidden, (5, 1), padding=(2, 0))
+
+    def forward(self, h, x):
+        hx = torch.cat([h, x], dim=1)
+        z = torch.sigmoid(self.convz1(hx))
+        r = torch.sigmoid(self.convr1(hx))
+        q = torch.tanh(self.convq1(torch.cat([r * h, x], dim=1)))
+        h = (1 - z) * h + z * q
+        hx = torch.cat([h, x], dim=1)
+        z = torch.sigmoid(self.convz2(hx))
+        r = torch.sigmoid(self.convr2(hx))
+        q = torch.tanh(self.convq2(torch.cat([r * h, x], dim=1)))
+        return (1 - z) * h + z * q
+
+
+def _convp(m):
+    return {"kernel": m.weight.detach().numpy().transpose(2, 3, 1, 0),
+            "bias": m.bias.detach().numpy()}
+
+
+def test_motion_encoder_matches_torch():
+    from gflow_tpu.models.unimatch.gmflow import BasicMotionEncoder
+
+    torch.manual_seed(3)
+    corr_ch = 81
+    ref = TMotionEncoder(corr_ch).eval()
+    params = {k: _convp(getattr(ref, k))
+              for k in ("convc1", "convc2", "convf1", "convf2", "conv")}
+    rng = np.random.default_rng(5)
+    flow = rng.normal(size=(1, 6, 8, 2)).astype(np.float32)
+    corr = rng.normal(size=(1, 6, 8, corr_ch)).astype(np.float32)
+    got = BasicMotionEncoder(corr_ch).apply(
+        {"params": params}, jnp.asarray(flow), jnp.asarray(corr))
+    want = ref(torch.from_numpy(flow).permute(0, 3, 1, 2),
+               torch.from_numpy(corr).permute(0, 3, 1, 2))
+    want = want.detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_sepconv_gru_matches_torch():
+    from gflow_tpu.models.unimatch.gmflow import SepConvGRU
+
+    torch.manual_seed(4)
+    ref = TSepConvGRU().eval()
+    params = {k: _convp(getattr(ref, k))
+              for k in ("convz1", "convr1", "convq1",
+                        "convz2", "convr2", "convq2")}
+    rng = np.random.default_rng(6)
+    h = rng.normal(size=(1, 6, 8, 128)).astype(np.float32)
+    x = rng.normal(size=(1, 6, 8, 256)).astype(np.float32)
+    got = SepConvGRU().apply({"params": params}, jnp.asarray(h),
+                             jnp.asarray(x))
+    want = ref(torch.from_numpy(h).permute(0, 3, 1, 2),
+               torch.from_numpy(x).permute(0, 3, 1, 2))
+    want = want.detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
