@@ -98,8 +98,9 @@ def lpips(img: np.ndarray, ref: np.ndarray, weights=None) -> float | None:
     fb = _alex_features(prep(ref), weights)
     total = 0.0
     for i, (a, b) in enumerate(zip(fa, fb)):
-        a = a / jnp.sqrt(jnp.sum(a**2, axis=1, keepdims=True) + 1e-10)
-        b = b / jnp.sqrt(jnp.sum(b**2, axis=1, keepdims=True) + 1e-10)
+        # upstream normalize_tensor: x / (||x|| + eps), eps OUTSIDE the sqrt
+        a = a / (jnp.sqrt(jnp.sum(a**2, axis=1, keepdims=True)) + 1e-10)
+        b = b / (jnp.sqrt(jnp.sum(b**2, axis=1, keepdims=True)) + 1e-10)
         d = (a - b) ** 2
         lin = weights[f"lin{i}_w"]  # (1, C, 1, 1)
         total = total + jnp.mean(jnp.sum(d * lin, axis=1))
