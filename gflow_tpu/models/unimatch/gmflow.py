@@ -491,12 +491,12 @@ class GMFlow(nn.Module):
         for s in range(cfg.num_scales):
             f0, f1 = feats0[s], feats1[s]
             if flow is not None:
-                flow = (
-                    jax.image.resize(
-                        flow, (B, f0.shape[1], f0.shape[2], 2), "bilinear"
-                    )
-                    * 2.0
-                )
+                # upstream upsamples inter-scale flow with
+                # F.interpolate(align_corners=True), not half-pixel
+                from ..mast3r.dpt_head import bilinear_resize_ac
+
+                flow = bilinear_resize_ac(
+                    flow, f0.shape[1], f0.shape[2]) * 2.0
                 grid = _coords_grid(B, f0.shape[1], f0.shape[2])
                 f1 = _bilinear_sample(f1, grid + flow)
 

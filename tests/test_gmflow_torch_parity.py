@@ -282,3 +282,55 @@ def test_sepconv_gru_matches_torch():
                torch.from_numpy(x).permute(0, 3, 1, 2))
     want = want.detach().numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def _t_split(feature, s):
+    """upstream unimatch split_feature (channel_last=True)."""
+    b, h, w, c = feature.size()
+    return feature.view(b, s, h // s, s, w // s, c).permute(
+        0, 1, 3, 2, 4, 5).reshape(b * s * s, h // s, w // s, c)
+
+
+def _t_merge(splits, s, h, w):
+    b = splits.size(0) // (s * s)
+    c = splits.size(-1)
+    return splits.view(b, s, s, h // s, w // s, c).permute(
+        0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+
+def test_transformer_layer_window_split_matches_torch():
+    """splits=2 path: swin-style window attention must use upstream's
+    window enumeration (split_feature/merge_splits ordering)."""
+    torch.manual_seed(5)
+    d, H, W, s = 16, 8, 12, 2
+    ref = TTransformerLayer(d).eval()
+    lin = lambda m: {"kernel": m.weight.detach().numpy().T}
+    ln = lambda m: {"scale": m.weight.detach().numpy(),
+                    "bias": m.bias.detach().numpy()}
+    params = {
+        "q_proj": lin(ref.q_proj), "k_proj": lin(ref.k_proj),
+        "v_proj": lin(ref.v_proj), "merge": lin(ref.merge),
+        "norm1": ln(ref.norm1), "norm2": ln(ref.norm2),
+        "mlp_0": lin(ref.mlp[0]), "mlp_2": lin(ref.mlp[2]),
+    }
+    rng = np.random.default_rng(7)
+    src = rng.normal(size=(1, H, W, d)).astype(np.float32)
+    tgt = rng.normal(size=(1, H, W, d)).astype(np.float32)
+    got = TransformerLayer(d).apply(
+        {"params": params}, jnp.asarray(src), jnp.asarray(tgt), s)
+
+    # torch reference with upstream windowing around the same layer math
+    ts, tt = torch.from_numpy(src), torch.from_numpy(tgt)
+    q = ref.q_proj(ts)
+    k = ref.k_proj(tt)
+    v = ref.v_proj(tt)
+    qs = _t_split(q, s).flatten(1, 2)
+    ks = _t_split(k, s).flatten(1, 2)
+    vs = _t_split(v, s).flatten(1, 2)
+    attn = torch.softmax(qs @ ks.transpose(-2, -1) / d ** 0.5, dim=-1)
+    msg = (attn @ vs).view(s * s, H // s, W // s, d)
+    msg = _t_merge(msg, s, H, W)
+    msg = ref.norm1(ref.merge(msg))
+    msg = ref.norm2(ref.mlp(torch.cat([ts, msg], dim=-1)))
+    want = (ts + msg).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
