@@ -74,12 +74,19 @@ def make_sequence(root, n_frames=4, W=96, H=64, seed=0, texture_octaves=0):
     # + occlusion flags, the format split_tapvid_davis.py produces)
     import pickle
 
-    qs = [
-        (x0 + sq / 2, y0 + sq / 2, vx),   # square center (moving)
-        (10.0, 10.0, 0.0),                # static background points
-        (W - 12.0, H - 10.0, 0.0),
-        (W / 2.0, H - 8.0, 0.0),
-    ]
+    # a 3x3 grid on the moving square + a background grid: enough queries
+    # that one point's behavior doesn't swing OA/AJ by 25 points
+    qs = []
+    for fy in (0.25, 0.5, 0.75):
+        for fx in (0.25, 0.5, 0.75):
+            qs.append((x0 + fx * sq, y0 + fy * sq, vx))  # moving
+    for by in (0.15, 0.5, 0.85):
+        for bx in (0.1, 0.5, 0.9):
+            px_, py_ = bx * W, by * H
+            # keep background queries off the square's sweep corridor
+            if y0 - 8 <= py_ <= y0 + sq + 8:
+                py_ = y0 - 20 if y0 > 30 else y0 + sq + 20
+            qs.append((px_, py_, 0.0))
     Q = len(qs)
     pts = np.zeros((Q, n_frames, 2), np.float64)
     for qi, (qx, qy, v) in enumerate(qs):

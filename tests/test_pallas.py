@@ -96,3 +96,16 @@ def test_fused_coverage_matches_two_pass():
     # coverage SUPPORT equivalence (max-alpha > 0 iff composite > bg=0)
     np.testing.assert_array_equal(np.asarray(cov[..., 0]) > 0,
                                   np.asarray(cov_ref[..., 0]) > 1e-6)
+
+
+def test_pallas_odd_size_matches_xla():
+    """Image sizes not multiples of 16 exercise the tile-grid padding and
+    crop paths inside the pallas wrapper."""
+    proj, bins, opacity, feats, n_tx, n_ty, W, H = setup(W=150, H=90, seed=5)
+    args = (bins.tile_lists, proj["uv"], proj["conic"], opacity, feats, 0.1)
+    img_x = composite_tiles(*args, W, H, n_tx, n_ty, tile_chunk=16)
+    img_p = composite_tiles_pallas(*args, W, H, n_tx, n_ty,
+                                   tile_counts=bins.tile_counts)
+    assert img_p.shape == (H, W, feats.shape[1])
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               atol=2e-5, rtol=1e-5)
