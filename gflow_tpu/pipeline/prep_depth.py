@@ -35,6 +35,15 @@ def load_params(path=None):
     return {"params": unflatten_dict(flat)}
 
 
+def model_for_params(params) -> "Mast3rModel":
+    """Pick the head family from a converted tree: MASt3R catmlp+dpt (the
+    reference's checkpoint) vs DUSt3R linear (+ optional desc head)."""
+    h1 = params["params"].get("downstream_head1", {})
+    if "dpt" in h1:
+        return Mast3rModel(Mast3rConfig(head="catmlp+dpt"))
+    return Mast3rModel(Mast3rConfig(with_desc="desc_proj" in h1))
+
+
 def main(img_dir: str, checkpoint: str = None, inference_size: int = 512,
          seg_size: int = 200, winsize: int = 3, mesh_devices: int = 0,
          model=None, params=None):
@@ -62,13 +71,7 @@ def main(img_dir: str, checkpoint: str = None, inference_size: int = 512,
         glob.glob(os.path.join(img_dir, "*.png"))
     )
     if model is None:
-        # head family from the converted tree: MASt3R catmlp+dpt (the
-        # reference's checkpoint) vs DUSt3R linear (+ optional desc head)
-        h1 = params["params"].get("downstream_head1", {})
-        if "dpt" in h1:
-            model = Mast3rModel(Mast3rConfig(head="catmlp+dpt"))
-        else:
-            model = Mast3rModel(Mast3rConfig(with_desc="desc_proj" in h1))
+        model = model_for_params(params)
 
     import jax.numpy as jnp
 

@@ -220,3 +220,16 @@ def test_catmlpdpt_convert_load_apply():
         # unit-normalized descriptors
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(o["desc"]), axis=-1), 1.0, atol=1e-4)
+
+
+def test_prep_depth_head_detection():
+    """prep_depth picks the right head family from a converted tree."""
+    from gflow_tpu.pipeline.prep_depth import model_for_params
+
+    m = model_for_params({"params": {"downstream_head1": {"dpt": {}}}})
+    assert m.config.head == "catmlp+dpt"
+    m = model_for_params({"params": {"downstream_head1": {"proj": {}}}})
+    assert m.config.head == "linear" and not m.config.with_desc
+    m = model_for_params(
+        {"params": {"downstream_head1": {"proj": {}, "desc_proj": {}}}})
+    assert m.config.head == "linear" and m.config.with_desc
