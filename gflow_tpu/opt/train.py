@@ -389,10 +389,17 @@ def train_stage(params: Params, state: FrameState, targets, intr,
                 p.xyz, scale, rotate, opacity, rgb, intr, extr, cfg.bg,
                 cfg.W, cfg.H, ("center",), cfg.render,
             )["center"]
+            # quantize + colormap ON DEVICE: snapshots leave the chip as
+            # uint8 frames (4x less host transfer per stage — the videos
+            # are 8-bit anyway), and the turbo depth colormap is pure jnp
+            from ..viz.colormap import apply_float_colormap
+
+            u8 = lambda x: (jnp.clip(x, 0.0, 1.0) * 255).astype(jnp.uint8)
             snap = {
-                "rgb": aux_c["rgb"],
-                "depth_map": aux_c["depth_map"],
-                "center": center,
+                "rgb": u8(aux_c["rgb"]),
+                "depth_map": u8(apply_float_colormap(
+                    aux_c["depth_map"], colormap="turbo", non_zero=True)),
+                "center": u8(center),
             }
             return carry, snap
 

@@ -302,15 +302,12 @@ class GFlowTrainer:
             "metrics": {k: float(v) for k, v in info["metrics"].items()},
         }
         if "snapshots" in info:
-            snaps = info["snapshots"]
-            out["frames"] = [render2img(f) for f in snaps["rgb"]]
-            out["frames_center"] = [render2img(f) for f in snaps["center"]]
-            out["frames_depth"] = [
-                render2img(
-                    apply_float_colormap(d, colormap="turbo", non_zero=True)[..., 0, :]
-                )
-                for d in snaps["depth_map"]
-            ]
+            # snapshots arrive as device-quantized uint8 (incl. the turbo
+            # depth colormap) — one stacked transfer, no host-side conversion
+            snaps = {k: np.asarray(v) for k, v in info["snapshots"].items()}
+            out["frames"] = list(snaps["rgb"])
+            out["frames_center"] = list(snaps["center"])
+            out["frames_depth"] = list(snaps["depth_map"])
 
         # ---- post-update host work: move segmentation via concave hull
         # (trainer.py:604-609) ----

