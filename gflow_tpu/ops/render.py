@@ -206,8 +206,14 @@ def _get_compositor(config: RenderConfig):
 
 
 def render2img(rendered: jax.Array):
-    """(H, W, C) float -> uint8 numpy image (reference: render.py:158-165)."""
+    """(H, W, C) float -> uint8 numpy image (reference: render.py:158-165).
+
+    Quantizes ON DEVICE before the host transfer: full-res f32 maps are 4x
+    the bytes of the uint8 image actually consumed, and device->host
+    bandwidth is the bottleneck of the per-frame diagnostic/render IO."""
     import numpy as np
 
-    arr = np.asarray(jnp.clip(rendered, 0.0, 1.0))
-    return (arr * 255).astype(np.uint8)
+    if getattr(rendered, "dtype", None) == jnp.uint8:
+        return np.asarray(rendered)
+    q = (jnp.clip(rendered, 0.0, 1.0) * 255).astype(jnp.uint8)
+    return np.asarray(q)
