@@ -12,7 +12,7 @@ Layout covered (see gmflow.py's docstring for the architecture):
   backbone.{conv1,layer{1,2,3}.{0,1}.{conv1,conv2,downsample.0},conv2,
   trident_conv.weight_list?/conv};
   transformer.layers.{i}.{self_attn,cross_attn_ffn}.{q,k,v,merge}_proj +
-  norm1/norm2 + mlp.{0,2};
+  norm1 (+ norm2/mlp.{0,2} on cross_attn_ffn only — self_attn is no_ffn);
   feature_flow_attn.{q_proj,k_proj};
   refine_proj; refine.{encoder.conv*,gru.conv*,flow_head.conv*,mask.{0,2}}.
 
@@ -47,19 +47,25 @@ def _res_block(dst):
     }
 
 
-def _tf_layer(dst):
-    return {
+def _tf_layer(dst, ffn: bool):
+    """Upstream builds self_attn with no_ffn=True — only cross_attn_ffn
+    carries mlp/norm2 (the released checkpoint has no self_attn.mlp keys)."""
+    rules = {
         "q_proj.weight": (f"{dst}/q_proj/kernel", _dense),
         "k_proj.weight": (f"{dst}/k_proj/kernel", _dense),
         "v_proj.weight": (f"{dst}/v_proj/kernel", _dense),
         "merge.weight": (f"{dst}/merge/kernel", _dense),
         "norm1.weight": (f"{dst}/norm1/scale", _vec),
         "norm1.bias": (f"{dst}/norm1/bias", _vec),
-        "norm2.weight": (f"{dst}/norm2/scale", _vec),
-        "norm2.bias": (f"{dst}/norm2/bias", _vec),
-        "mlp.0.weight": (f"{dst}/mlp_0/kernel", _dense),
-        "mlp.2.weight": (f"{dst}/mlp_2/kernel", _dense),
     }
+    if ffn:
+        rules.update({
+            "norm2.weight": (f"{dst}/norm2/scale", _vec),
+            "norm2.bias": (f"{dst}/norm2/bias", _vec),
+            "mlp.0.weight": (f"{dst}/mlp_0/kernel", _dense),
+            "mlp.2.weight": (f"{dst}/mlp_2/kernel", _dense),
+        })
+    return rules
 
 
 def _build_rules(num_layers: int = 6) -> dict:
@@ -87,7 +93,9 @@ def _build_rules(num_layers: int = 6) -> dict:
                 rules[f"backbone.layer{li}.{b}.{k}"] = v
     for i in range(num_layers):
         for sub in ("self_attn", "cross_attn_ffn"):
-            for k, v in _tf_layer(f"transformer/layers_{i}/{sub}").items():
+            layer_rules = _tf_layer(f"transformer/layers_{i}/{sub}",
+                                    ffn=(sub == "cross_attn_ffn"))
+            for k, v in layer_rules.items():
                 rules[f"transformer.layers.{i}.{sub}.{k}"] = v
     # RAFT BasicUpdateBlock
     enc = "refine/encoder"
@@ -147,10 +155,13 @@ def expected_torch_keys(num_layers: int = 6, d: int = 128,
                 f"{p}.v_proj.weight": (d, d),
                 f"{p}.merge.weight": (d, d),
                 f"{p}.norm1.weight": (d,), f"{p}.norm1.bias": (d,),
-                f"{p}.norm2.weight": (d,), f"{p}.norm2.bias": (d,),
-                f"{p}.mlp.0.weight": (d * 2 * 4, d * 2),
-                f"{p}.mlp.2.weight": (d, d * 2 * 4),
             })
+            if sub == "cross_attn_ffn":  # self_attn is no_ffn upstream
+                shapes.update({
+                    f"{p}.norm2.weight": (d,), f"{p}.norm2.bias": (d,),
+                    f"{p}.mlp.0.weight": (d * 2 * 4, d * 2),
+                    f"{p}.mlp.2.weight": (d, d * 2 * 4),
+                })
     shapes.update({
         "refine.encoder.convc1.weight": (256, 81, 1, 1),
         "refine.encoder.convc1.bias": (256,),

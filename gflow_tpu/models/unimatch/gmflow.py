@@ -12,8 +12,10 @@ rename+transpose:
   (weight-shared 3x3 applied at strides 1 and 2 -> the 1/4 and 1/8
   pyramid for scale2 models);
   transformer.layers.{i}.{self_attn,cross_attn_ffn} LoFTR-style layers
-  (q/k/v/merge linear, message = norm2(mlp(cat(source, norm1(merge(att)))))
-  added back to source), swin window splits, sine position embedding;
+  (q/k/v/merge linear; self_attn is no_ffn: message = norm1(merge(att));
+  cross_attn_ffn adds norm2(mlp(cat(source, message))); both added back to
+  source), swin window splits with shifted windows + attention mask on odd
+  layers, per-window sine position embedding;
   parameter-free global/local correlation softmax matching;
   feature_flow_attn (SelfAttnPropagation, learned q/k projections,
   flow as value);
@@ -184,28 +186,74 @@ def _merge_windows(x, splits, H, W):
     return x.reshape(B, H, W, -1)
 
 
+def shift_window_attn_mask(H: int, W: int, splits: int):
+    """(splits^2, L, L) additive attention mask for swin shifted windows
+    (upstream unimatch generate_shift_window_attn_mask): after rolling by
+    half a window, lanes that came from different pre-roll regions must not
+    attend to each other (-100 additive). Static — built host-side."""
+    import numpy as np
+
+    s = splits
+    wh, ww = H // s, W // s
+    sh, sw = wh // 2, ww // 2
+    img = np.zeros((H, W), np.float32)
+    cnt = 0
+    for hs in (slice(0, H - wh), slice(H - wh, H - sh), slice(H - sh, H)):
+        for ws_ in (slice(0, W - ww), slice(W - ww, W - sw),
+                    slice(W - sw, W)):
+            img[hs, ws_] = cnt
+            cnt += 1
+    win = img.reshape(s, wh, s, ww).transpose(0, 2, 1, 3).reshape(
+        s * s, wh * ww)
+    diff = win[:, None, :] - win[:, :, None]
+    return jnp.asarray(np.where(diff != 0, -100.0, 0.0).astype(np.float32))
+
+
 class TransformerLayer(nn.Module):
     """LoFTR-style message layer (upstream unimatch TransformerLayer):
-    attention message -> merge -> norm1 -> mlp(cat(source, message)) ->
-    norm2 -> residual add."""
+    attention message -> merge -> norm1 [-> mlp(cat(source, message)) ->
+    norm2 if not no_ffn] -> residual add. Upstream builds self-attention
+    sublayers with no_ffn=True — only cross_attn_ffn carries the FFN (the
+    released checkpoints have no self_attn.mlp/norm2 weights).
+
+    with_shift (odd layers when splits > 1) rolls q/k/v by half a window
+    before splitting, masks cross-boundary attention, and rolls the merged
+    message back (upstream single_head_split_window_attention)."""
 
     dim: int
+    no_ffn: bool = False
 
     @nn.compact
-    def __call__(self, source, target, splits):
+    def __call__(self, source, target, splits, with_shift: bool = False):
         H, W = source.shape[1:3]
         q = nn.Dense(self.dim, use_bias=False, name="q_proj")(source)
         k = nn.Dense(self.dim, use_bias=False, name="k_proj")(target)
         v = nn.Dense(self.dim, use_bias=False, name="v_proj")(target)
+        shifted = with_shift and splits > 1
+        if shifted:
+            sh, sw = (H // splits) // 2, (W // splits) // 2
+            q = jnp.roll(q, (-sh, -sw), axis=(1, 2))
+            k = jnp.roll(k, (-sh, -sw), axis=(1, 2))
+            v = jnp.roll(v, (-sh, -sw), axis=(1, 2))
         qs = _split_windows(q, splits)
         ks = _split_windows(k, splits)
         vs = _split_windows(v, splits)
         attn = jnp.einsum("bqc,bkc->bqk", qs, ks) / jnp.sqrt(self.dim)
+        if shifted:
+            B = source.shape[0]
+            L = qs.shape[1]
+            mask = shift_window_attn_mask(H, W, splits)
+            attn = (attn.reshape(B, splits * splits, L, L)
+                    + mask[None]).reshape(B * splits * splits, L, L)
         attn = jax.nn.softmax(attn, axis=-1)
         msg = jnp.einsum("bqk,bkc->bqc", attn, vs)
         msg = _merge_windows(msg, splits, H, W)
+        if shifted:
+            msg = jnp.roll(msg, (sh, sw), axis=(1, 2))
         msg = nn.Dense(self.dim, use_bias=False, name="merge")(msg)
         msg = nn.LayerNorm(name="norm1", **_LN)(msg)
+        if self.no_ffn:
+            return source + msg
         h = jnp.concatenate([source, msg], axis=-1)
         h = nn.Dense(self.dim * 2 * 4, use_bias=False, name="mlp_0")(h)
         h = nn.Dense(self.dim, use_bias=False, name="mlp_2")(_gelu(h))
@@ -217,11 +265,11 @@ class TransformerBlock(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, source, target, splits):
-        source = TransformerLayer(self.dim, name="self_attn")(
-            source, source, splits)
+    def __call__(self, source, target, splits, with_shift: bool = False):
+        source = TransformerLayer(self.dim, no_ffn=True, name="self_attn")(
+            source, source, splits, with_shift)
         source = TransformerLayer(self.dim, name="cross_attn_ffn")(
-            source, target, splits)
+            source, target, splits, with_shift)
         return source
 
 
@@ -232,9 +280,11 @@ class FeatureTransformer(nn.Module):
     @nn.compact
     def __call__(self, feat0, feat1, splits):
         for i in range(self.num_layers):
+            # upstream: with_shift=True for odd layer indices (swin)
+            shift = splits > 1 and i % 2 == 1
             layer = TransformerBlock(self.dim, name=f"layers_{i}")
-            new0 = layer(feat0, feat1, splits)
-            new1 = layer(feat1, feat0, splits)
+            new0 = layer(feat0, feat1, splits, shift)
+            new1 = layer(feat1, feat0, splits, shift)
             feat0, feat1 = new0, new1
         return feat0, feat1
 
@@ -367,20 +417,26 @@ def _bilinear_sample(img, coords):
 
 
 def local_correlation_with_flow(feat0, feat1, flow, radius: int):
-    """(B, H, W, (2r+1)^2) correlation of feat0 vs feat1 warped by flow."""
+    """(B, H, W, (2r+1)^2) correlation of feat0[x] vs feat1 bilinearly
+    sampled at x + offset + flow(x) for each window offset (upstream
+    unimatch local_correlation_with_flow: grid_sample at
+    coords + window_grid + flow, zero padding). NOTE this is NOT
+    warp-then-shift — the flow displacement is evaluated at the center
+    pixel x for every offset, so each of the (2r+1)^2 taps is its own
+    fractional sample."""
     B, H, W, C = feat0.shape
-    grid = _coords_grid(B, H, W)
-    warped = _bilinear_sample(feat1, grid + flow)
     r = radius
-    pad = jnp.pad(warped, ((0, 0), (r, r), (r, r), (0, 0)))
-    cs = [
-        jnp.einsum("bhwc,bhwc->bhw", feat0,
-                   pad[:, r + dy : r + dy + H, r + dx : r + dx + W])
-        / jnp.sqrt(C)
-        for dy in range(-r, r + 1)
-        for dx in range(-r, r + 1)
-    ]
-    return jnp.stack(cs, axis=-1)
+    grid = _coords_grid(B, H, W)
+    offs = jnp.asarray(
+        [(dx, dy) for dy in range(-r, r + 1) for dx in range(-r, r + 1)],
+        jnp.float32,
+    )  # (P, 2), row-major dy-outer like upstream generate_window_grid
+    P = offs.shape[0]
+    coords = (grid[:, :, :, None, :] + offs[None, None, None]
+              + flow[:, :, :, None, :])  # (B, H, W, P, 2)
+    sampled = _bilinear_sample(
+        feat1, coords.reshape(B, H, W * P, 2)).reshape(B, H, W, P, C)
+    return jnp.einsum("bhwc,bhwpc->bhwp", feat0, sampled) / jnp.sqrt(C)
 
 
 class BasicMotionEncoder(nn.Module):
@@ -475,9 +531,13 @@ class GMFlow(nn.Module):
         padding_factor. Returns full-resolution flow (B, H, W, 2)."""
         cfg = self.config
         B, H, W, _ = img0.shape
+        # upstream normalize_img: ImageNet mean/std (the distribution the
+        # released weights were trained on) — NOT 2x-1
+        mean = jnp.asarray([0.485, 0.456, 0.406], img0.dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], img0.dtype)
         enc = CNNEncoder(cfg.feature_channels, cfg.num_scales, name="backbone")
-        feats0 = enc(img0 * 2 - 1)
-        feats1 = enc(img1 * 2 - 1)
+        feats0 = enc((img0 - mean) / std)
+        feats1 = enc((img1 - mean) / std)
 
         tr = FeatureTransformer(
             cfg.feature_channels, cfg.num_transformer_layers,
@@ -521,7 +581,9 @@ class GMFlow(nn.Module):
                 delta = local_correlation_softmax(f0t, f1t, radius)
             flow = delta if flow is None else flow + delta
 
-            flow = prop(f0t, flow, cfg.prop_radius_list[s])
+            # upstream: feature_flow_attn receives flow.detach()
+            flow = prop(f0t, jax.lax.stop_gradient(flow),
+                        cfg.prop_radius_list[s])
 
         if cfg.num_reg_refine > 0:
             proj = nn.Conv(256, (1, 1), name="refine_proj")(f0t)
@@ -532,10 +594,16 @@ class GMFlow(nn.Module):
                 corr_channels=81, mask_ch=cfg.upsample_factor**2 * 9,
                 name="refine",
             )
+            # upstream correlates the BACKBONE features captured at the
+            # finest scale before warping/pos-embed/transformer
+            # (feature0_ori/feature1_ori), not the transformer outputs
+            f0_ori = feats0[cfg.num_scales - 1]
+            f1_ori = feats1[cfg.num_scales - 1]
             up_mask = None
             for _ in range(cfg.num_reg_refine):
                 flow = jax.lax.stop_gradient(flow)
-                corr = local_correlation_with_flow(f0t, f1t, flow, radius=4)
+                corr = local_correlation_with_flow(f0_ori, f1_ori, flow,
+                                                   radius=4)
                 net, up_mask, dflow = refine(net, inp, corr, flow)
                 flow = flow + dflow
             flow_full = upsample_flow_with_mask(flow, up_mask,

@@ -71,11 +71,16 @@ def test_trainable_on_known_shift():
         updates, state = opt.update(g, state)
         return optax.apply_updates(params, updates), state, l
 
+    # Upstream-faithful flow.detach() before propagation/refinement means
+    # only the last refine iteration's delta-flow head gets direct gradient
+    # (upstream trains with intermediate supervision we don't replicate
+    # here), so convergence on this contrived single-pair overfit is noisy —
+    # 45 steps before asserting the drop.
     losses = []
-    for i in range(30):
+    for i in range(45):
         params, state, l = step(params, state)
         losses.append(float(l))
-    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    assert losses[-1] < losses[0] * 0.7, losses[::5]
 
 
 def test_convert_load_forward(tmp_path):

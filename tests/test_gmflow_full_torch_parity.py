@@ -18,7 +18,7 @@ from gflow_tpu.models.unimatch.gmflow import GMFlow, GMFlowConfig
 from gflow_tpu.models.unimatch import convert as uconvert
 from tests.test_gmflow_torch_parity import (
     TTransformerLayer, TResBlock, TMotionEncoder, TSepConvGRU,
-    _t_split, _t_merge)
+    _t_split, _t_merge, _t_layer_shift)
 
 FC = 32          # feature channels (tiny)
 NLAYERS = 2
@@ -67,21 +67,6 @@ def _t_pos_embed(h, w, c):
     return torch.cat((py, px), dim=3)  # (1, h, w, c)
 
 
-def _t_layer(layer, src, tgt, splits):
-    H, W = src.shape[1:3]
-    d = src.shape[-1]
-    q, k, v = layer.q_proj(src), layer.k_proj(tgt), layer.v_proj(tgt)
-    qs = _t_split(q, splits).flatten(1, 2)
-    ks = _t_split(k, splits).flatten(1, 2)
-    vs = _t_split(v, splits).flatten(1, 2)
-    attn = torch.softmax(qs @ ks.transpose(-2, -1) / d ** 0.5, dim=-1)
-    msg = (attn @ vs).view(splits * splits, H // splits, W // splits, d)
-    msg = _t_merge(msg, splits, H, W)
-    msg = layer.norm1(layer.merge(msg))
-    msg = layer.norm2(layer.mlp(torch.cat([src, msg], dim=-1)))
-    return src + msg
-
-
 def _t_coords(h, w):
     ys, xs = torch.meshgrid(torch.arange(h, dtype=torch.float32),
                             torch.arange(w, dtype=torch.float32),
@@ -103,8 +88,9 @@ class TorchGMFlow(tn.Module):
     def __init__(self):
         super().__init__()
         self.backbone = TorchCNNEncoder()
+        # upstream: self_attn sublayers are no_ffn (no mlp/norm2 weights)
         self.self_attn = tn.ModuleList(
-            [TTransformerLayer(FC) for _ in range(NLAYERS)])
+            [TTransformerLayer(FC, no_ffn=True) for _ in range(NLAYERS)])
         self.cross_attn = tn.ModuleList(
             [TTransformerLayer(FC) for _ in range(NLAYERS)])
         self.q_proj = tn.Linear(FC, FC)
@@ -118,18 +104,27 @@ class TorchGMFlow(tn.Module):
         self.mask2 = tn.Conv2d(256, UPF * UPF * 9, 1)
 
     def transformer(self, f0, f1, splits):
-        for sa, ca in zip(self.self_attn, self.cross_attn):
-            n0 = _t_layer(ca, _t_layer(sa, f0, f0, splits), f1, splits)
-            n1 = _t_layer(ca, _t_layer(sa, f1, f1, splits), f0, splits)
+        for i, (sa, ca) in enumerate(zip(self.self_attn, self.cross_attn)):
+            # upstream: with_shift for odd layer indices when splits > 1
+            shift = splits > 1 and i % 2 == 1
+            n0 = _t_layer_shift(
+                ca, _t_layer_shift(sa, f0, f0, splits, shift), f1, splits,
+                shift)
+            n1 = _t_layer_shift(
+                ca, _t_layer_shift(sa, f1, f1, splits, shift), f0, splits,
+                shift)
             f0, f1 = n0, n1
         return f0, f1
 
     def forward(self, img0, img1, attn_splits_list=(2, 4),
                 corr_radius_list=(-1, 4), prop_radius_list=(-1, 1)):
-        feats0 = [f.permute(0, 2, 3, 1)
-                  for f in self.backbone(img0.permute(0, 3, 1, 2) * 2 - 1)]
-        feats1 = [f.permute(0, 2, 3, 1)
-                  for f in self.backbone(img1.permute(0, 3, 1, 2) * 2 - 1)]
+        # upstream normalize_img: ImageNet mean/std on [0, 1] inputs
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 1, 1, 3)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 1, 1, 3)
+        n0 = ((img0 - mean) / std).permute(0, 3, 1, 2)
+        n1 = ((img1 - mean) / std).permute(0, 3, 1, 2)
+        feats0 = [f.permute(0, 2, 3, 1) for f in self.backbone(n0)]
+        feats1 = [f.permute(0, 2, 3, 1) for f in self.backbone(n1)]
         flow = None
         for s in range(2):
             f0, f1 = feats0[s], feats1[s]
@@ -200,21 +195,33 @@ class TorchGMFlow(tn.Module):
                 att = ((q[..., None, :] * kk).sum(-1) / C ** 0.5).softmax(-1)
                 flow = (att[..., None] * vv).sum(3)
 
-        # RAFT refinement at the finest scale
+        # RAFT refinement at the finest scale — upstream correlates the
+        # BACKBONE features (feature0_ori/feature1_ori, captured before
+        # warp/pos-embed/transformer) at x + offset + flow(x) per tap
+        # (local_correlation_with_flow via grid_sample)
+        f0_ori, f1_ori = feats0[-1], feats1[-1]
         proj = self.refine_proj(f0t.permute(0, 3, 1, 2))
         net, inp = torch.chunk(proj, 2, dim=1)
         net, inp = torch.tanh(net), torch.relu(inp)
         up_mask = None
+        rr = 4
+        offs = torch.tensor(
+            [(dx, dy) for dy in range(-rr, rr + 1)
+             for dx in range(-rr, rr + 1)], dtype=torch.float32)
+        b = f0_ori.shape[0]
+        base = _t_coords(h, w).reshape(1, h * w, 2).repeat(b, 1, 1)
         for _ in range(REFINE):
             flow = flow.detach()
-            warped = _t_warp(f1t, _t_coords(h, w) + flow)
-            rr = 4
-            padw = tF.pad(warped.permute(0, 3, 1, 2), (rr,)*4
-                          ).permute(0, 2, 3, 1)
-            cs = [(f0t * padw[:, rr+dy:rr+dy+h, rr+dx:rr+dx+w]).sum(-1)
-                  / FC ** 0.5
-                  for dy in range(-rr, rr + 1) for dx in range(-rr, rr + 1)]
-            corr = torch.stack(cs, -1).permute(0, 3, 1, 2)
+            sample = (base.unsqueeze(-2) + offs.view(1, 1, -1, 2)
+                      + flow.reshape(b, h * w, 1, 2))
+            sgrid = torch.stack([2 * sample[..., 0] / (w - 1) - 1,
+                                 2 * sample[..., 1] / (h - 1) - 1], -1)
+            wf = tF.grid_sample(f1_ori.permute(0, 3, 1, 2), sgrid,
+                                mode="bilinear", padding_mode="zeros",
+                                align_corners=True).permute(0, 2, 1, 3)
+            corr = (f0_ori.reshape(b, h * w, 1, FC) @ wf).reshape(
+                b, h, w, offs.shape[0]) / FC ** 0.5
+            corr = corr.permute(0, 3, 1, 2)
             m = self.encoder(flow.permute(0, 3, 1, 2), corr)
             net = self.gru(net, torch.cat([inp, m], dim=1))
             dflow = self.fh2(torch.relu(self.fh1(net)))
@@ -260,9 +267,10 @@ def _sd(m):
             sd[f"{prefix}.{p}.weight"] = getattr(
                 lyr, p).weight.detach().numpy()
         put(f"{prefix}.norm1", lyr.norm1)
-        put(f"{prefix}.norm2", lyr.norm2)
-        sd[f"{prefix}.mlp.0.weight"] = lyr.mlp[0].weight.detach().numpy()
-        sd[f"{prefix}.mlp.2.weight"] = lyr.mlp[2].weight.detach().numpy()
+        if not lyr.no_ffn:  # self_attn carries no mlp/norm2 upstream
+            put(f"{prefix}.norm2", lyr.norm2)
+            sd[f"{prefix}.mlp.0.weight"] = lyr.mlp[0].weight.detach().numpy()
+            sd[f"{prefix}.mlp.2.weight"] = lyr.mlp[2].weight.detach().numpy()
 
     for i in range(NLAYERS):
         layer_sd(f"transformer.layers.{i}.self_attn", m.self_attn[i])

@@ -115,19 +115,23 @@ def test_local_correlation_softmax_masks_oob():
 
 
 class TTransformerLayer(tn.Module):
-    """upstream unimatch TransformerLayer (nhead=1, ffn_dim_expansion=4)."""
+    """upstream unimatch TransformerLayer (nhead=1, ffn_dim_expansion=4).
+    no_ffn=True is the self_attn sublayer form (no mlp/norm2 — the released
+    checkpoints carry none for self_attn)."""
 
-    def __init__(self, d):
+    def __init__(self, d, no_ffn=False):
         super().__init__()
         self.q_proj = tn.Linear(d, d, bias=False)
         self.k_proj = tn.Linear(d, d, bias=False)
         self.v_proj = tn.Linear(d, d, bias=False)
         self.merge = tn.Linear(d, d, bias=False)
         self.norm1 = tn.LayerNorm(d)
-        self.mlp = tn.Sequential(
-            tn.Linear(d * 2, d * 2 * 4, bias=False), tn.GELU(),
-            tn.Linear(d * 2 * 4, d, bias=False))
-        self.norm2 = tn.LayerNorm(d)
+        self.no_ffn = no_ffn
+        if not no_ffn:
+            self.mlp = tn.Sequential(
+                tn.Linear(d * 2, d * 2 * 4, bias=False), tn.GELU(),
+                tn.Linear(d * 2 * 4, d, bias=False))
+            self.norm2 = tn.LayerNorm(d)
         self.d = d
 
     def forward(self, source, target):
@@ -138,6 +142,8 @@ class TTransformerLayer(tn.Module):
         attn = torch.softmax(
             q @ k.transpose(-2, -1) / self.d ** 0.5, dim=-1)
         msg = self.norm1(self.merge(attn @ v))
+        if self.no_ffn:
+            return source + msg
         msg = self.norm2(self.mlp(torch.cat([source, msg], dim=-1)))
         return source + msg
 
@@ -296,6 +302,117 @@ def _t_merge(splits, s, h, w):
     c = splits.size(-1)
     return splits.view(b, s, s, h // s, w // s, c).permute(
         0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+
+def _t_shift_attn_mask(h, w, s):
+    """upstream unimatch generate_shift_window_attn_mask (swin)."""
+    wh, ww = h // s, w // s
+    sh_, sw_ = wh // 2, ww // 2
+    img = torch.zeros(1, h, w, 1)
+    cnt = 0
+    for hs in (slice(0, -wh), slice(-wh, -sh_), slice(-sh_, None)):
+        for ws in (slice(0, -ww), slice(-ww, -sw_), slice(-sw_, None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    mw = _t_split(img, s).reshape(-1, wh * ww)
+    am = mw.unsqueeze(1) - mw.unsqueeze(2)
+    return am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+
+
+def _t_layer_shift(layer, src, tgt, splits, with_shift):
+    """upstream TransformerLayer forward with the swin split-window path
+    (single_head_split_window_attention: roll by half a window, mask
+    cross-boundary attention, roll back)."""
+    B, H, W, d = src.shape
+    q, k, v = layer.q_proj(src), layer.k_proj(tgt), layer.v_proj(tgt)
+    shifted = with_shift and splits > 1
+    if shifted:
+        sh_, sw_ = (H // splits) // 2, (W // splits) // 2
+        q = torch.roll(q, shifts=(-sh_, -sw_), dims=(1, 2))
+        k = torch.roll(k, shifts=(-sh_, -sw_), dims=(1, 2))
+        v = torch.roll(v, shifts=(-sh_, -sw_), dims=(1, 2))
+    qs = _t_split(q, splits).flatten(1, 2)
+    ks = _t_split(k, splits).flatten(1, 2)
+    vs = _t_split(v, splits).flatten(1, 2)
+    scores = qs @ ks.transpose(-2, -1) / d ** 0.5
+    if shifted:
+        scores = scores + _t_shift_attn_mask(H, W, splits).repeat(B, 1, 1)
+    attn = torch.softmax(scores, dim=-1)
+    msg = (attn @ vs).view(B * splits * splits, H // splits, W // splits, d)
+    msg = _t_merge(msg, splits, H, W)
+    if shifted:
+        msg = torch.roll(msg, shifts=(sh_, sw_), dims=(1, 2))
+    msg = layer.norm1(layer.merge(msg))
+    if layer.no_ffn:
+        return src + msg
+    msg = layer.norm2(layer.mlp(torch.cat([src, msg], dim=-1)))
+    return src + msg
+
+
+@pytest.mark.parametrize("no_ffn", [False, True])
+def test_transformer_layer_shifted_window_matches_torch(no_ffn):
+    """with_shift=True path (odd layers when attn_splits > 1): roll by half
+    a window + swin cross-boundary mask + roll back, with and without the
+    FFN (self_attn is no_ffn upstream)."""
+    from gflow_tpu.models.unimatch.gmflow import TransformerLayer as JLayer
+
+    torch.manual_seed(6)
+    d, H, W, s = 16, 8, 12, 2
+    ref = TTransformerLayer(d, no_ffn=no_ffn).eval()
+    lin = lambda m: {"kernel": m.weight.detach().numpy().T}
+    ln = lambda m: {"scale": m.weight.detach().numpy(),
+                    "bias": m.bias.detach().numpy()}
+    params = {
+        "q_proj": lin(ref.q_proj), "k_proj": lin(ref.k_proj),
+        "v_proj": lin(ref.v_proj), "merge": lin(ref.merge),
+        "norm1": ln(ref.norm1),
+    }
+    if not no_ffn:
+        params.update({"norm2": ln(ref.norm2), "mlp_0": lin(ref.mlp[0]),
+                       "mlp_2": lin(ref.mlp[2])})
+    rng = np.random.default_rng(8)
+    src = rng.normal(size=(2, H, W, d)).astype(np.float32)
+    tgt = rng.normal(size=(2, H, W, d)).astype(np.float32)
+    got = JLayer(d, no_ffn=no_ffn).apply(
+        {"params": params}, jnp.asarray(src), jnp.asarray(tgt), s,
+        with_shift=True)
+    want = _t_layer_shift(ref, torch.from_numpy(src), torch.from_numpy(tgt),
+                          s, True).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_local_correlation_with_flow_matches_upstream_grid_sample():
+    """Refinement correlation: upstream samples feature1 at
+    x + offset + flow(x) per tap via grid_sample (NOT warp-then-shift)."""
+    from gflow_tpu.models.unimatch.gmflow import local_correlation_with_flow
+
+    rng = np.random.default_rng(9)
+    B, H, W, C, r = 2, 6, 7, 8, 2
+    f0 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    f1 = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    flow = rng.normal(scale=1.5, size=(B, H, W, 2)).astype(np.float32)
+
+    got = np.asarray(local_correlation_with_flow(
+        jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(flow), r))
+
+    # upstream unimatch local_correlation_with_flow (matching.py)
+    tf1 = torch.from_numpy(f1).permute(0, 3, 1, 2)
+    ys, xs = torch.meshgrid(torch.arange(H, dtype=torch.float32),
+                            torch.arange(W, dtype=torch.float32),
+                            indexing="ij")
+    coords = torch.stack([xs, ys], -1).reshape(1, H * W, 2).repeat(B, 1, 1)
+    offs = torch.tensor(
+        [(dx, dy) for dy in range(-r, r + 1) for dx in range(-r, r + 1)],
+        dtype=torch.float32)
+    sample = (coords.unsqueeze(-2) + offs.view(1, 1, -1, 2)
+              + torch.from_numpy(flow).reshape(B, H * W, 1, 2))
+    grid = torch.stack([2 * sample[..., 0] / (W - 1) - 1,
+                        2 * sample[..., 1] / (H - 1) - 1], -1)
+    wf = tF.grid_sample(tf1, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True).permute(0, 2, 1, 3)
+    f0v = torch.from_numpy(f0).reshape(B, H * W, 1, C)
+    want = (f0v @ wf).reshape(B, H, W, offs.shape[0]).numpy() / np.sqrt(C)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
 def test_transformer_layer_window_split_matches_torch():
