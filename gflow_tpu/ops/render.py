@@ -106,6 +106,11 @@ def render(
         if "depth_map_color" in outputs:
             depth_color = apply_float_colormap(depth, colormap="turbo", non_zero=True)
             add("depth_map_color", depth_color)
+        if "acc" in outputs:
+            # accumulated alpha sum(alpha_i * T_i) per pixel: a ones feature
+            # channel composites to exactly that (used to alpha-normalize the
+            # blended depth map — see eval/benchmark.eval_tracking)
+            add("acc", jnp.ones_like(depth))
 
         img = compose(
             bins.tile_lists, uv, conic, opacity, jnp.concatenate(feats, axis=1),
@@ -113,6 +118,12 @@ def render(
         )
         for name, (s, e) in slices.items():
             out[name] = img[..., s:e]
+        if "acc" in out:
+            # the compositor fills background into every channel:
+            # raw = (1 - T_final) + bg * T_final  =>  undo the bg term
+            bgf = jnp.asarray(bg, jnp.float32)
+            out["acc"] = jnp.clip(
+                (out["acc"] - bgf) / jnp.maximum(1.0 - bgf, 1e-6), 0.0, 1.0)
 
     if need_center:
         # identity conic + opacity 1 point-cloud view (reference render.py:93-106)

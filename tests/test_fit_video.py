@@ -83,3 +83,103 @@ def test_fit_video_end_to_end(tmp_path):
     # static-camera sequence fitted with lr_camera 0: ATE should be ~0
     assert res["ATE"] is not None and res["ATE"] < 0.05
     assert os.path.exists(os.path.join(d, "metrics.csv"))
+
+
+@pytest.mark.slow
+def test_occlusion_episode_oa(tmp_path):
+    """A real occlusion episode (VERDICT r2 item 4): background queries in
+    the moving square's sweep corridor are occluded when the square passes
+    in front — the alpha-normalized depth-difference predictor must agree
+    with GT on >90% of (query, frame) slots."""
+    seq = make_sequence(tmp_path, n_frames=5, W=96, H=64,
+                        occlusion_queries=True)
+    os.chdir(tmp_path)
+
+    from gflow_tpu.pipeline.fit_video import main
+
+    trainer = main(
+        num_points=1500,
+        sequence_path=seq,
+        iterations_first=150,
+        iterations_after=60,
+        camera_first=False,
+        iterations_camera=0,
+        lr=0.01,
+        lr_after=5e-3,
+        lr_camera=0.0,
+        lr_camera_after=0.0,
+        lambda_rgb=1.0,
+        lambda_depth=0.1,
+        lambda_var=50.0,
+        lambda_flow=0.01,
+        lambda_still=1.0,
+        densify_interval=0,
+        densify_interval_after=0,
+        traj_num=16,
+        logs_suffix=str(tmp_path / "logs_occ"),
+    )
+
+    from gflow_tpu.eval.benchmark import eval_tracking
+
+    oa, aj, apts = eval_tracking(str(seq), trainer.dir)
+    assert oa is not None and oa > 90.0, (oa, aj, apts)
+
+
+@pytest.mark.slow
+def test_moving_camera_ate(tmp_path):
+    """Non-vacuous camera evaluation (VERDICT r2 item 5): the synthetic
+    camera translates + yaws, the fit runs camera-first WITHOUT loading GT
+    extrinsics, and the estimated trajectory must beat the degenerate
+    identity trajectory by a wide margin under the same Sim(3)-aligned ATE."""
+    seq = make_sequence(tmp_path, n_frames=5, W=96, H=64, moving_camera=True)
+    os.chdir(tmp_path)
+
+    from gflow_tpu.pipeline.fit_video import main
+
+    trainer = main(
+        num_points=1500,
+        sequence_path=seq,
+        iterations_first=150,
+        iterations_after=50,
+        iterations_camera=80,
+        camera_first=True,
+        load_extr=False,
+        lr=0.01,
+        lr_camera=0.0,
+        lr_after=5e-3,
+        lr_camera_after=3e-3,
+        lambda_rgb=1.0,
+        lambda_depth=0.1,
+        lambda_var=50.0,
+        lambda_flow=0.01,
+        lambda_still=1.0,
+        densify_interval=0,
+        densify_interval_after=0,
+        traj_num=16,
+        logs_suffix=str(tmp_path / "logs_cam"),
+    )
+
+    from gflow_tpu.eval.benchmark import eval_camera
+
+    res = eval_camera(trainer.dir, str(seq))
+    assert res["ATE"] is not None
+
+    # control: ATE of the degenerate identity-pose trajectory vs the same GT
+    import glob as _glob
+    import json as _json
+
+    from gflow_tpu.eval.camera_eval import ate_rmse
+
+    gt_paths = sorted(
+        _glob.glob(os.path.join(str(seq) + "_camera_mast3r_s2", "*.json")))
+    n_f = len(os.listdir(os.path.join(trainer.dir, "ckpt")))
+    gt_t = []
+    for gp in gt_paths[:n_f]:
+        with open(gp) as f:
+            w2c = np.asarray(_json.load(f)["pose"])
+        gt_t.append(np.linalg.inv(w2c)[:3, 3])
+    gt_t = np.stack(gt_t)
+    ident = np.zeros_like(gt_t)
+    ate_ident = ate_rmse(gt_t, ident, align=True, correct_scale=True)
+    assert ate_ident > 0.005, "GT trajectory degenerate — test is vacuous"
+    assert res["ATE"] < 0.6 * ate_ident, (res["ATE"], ate_ident)
