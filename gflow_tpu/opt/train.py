@@ -32,7 +32,7 @@ from ..core.scene import OPACITY_SENSITIVITY
 from ..ops.binning import bin_gaussians, tile_grid
 from ..ops.composite import composite_tiles
 from ..ops.render import _get_compositor
-from ..ops.projection import project_gaussians, supported_max_radius
+from ..ops.projection import TILE, project_gaussians, supported_max_radius
 from ..ops.render import RenderConfig, DEFAULT_CONFIG
 from .losses import LossWeights, compute_losses, flow_prior_terms
 from .state import FrameState, OptState, Params, adam_update, init_opt_state
@@ -54,6 +54,9 @@ class StageConfig:
     render: RenderConfig = field(default_factory=lambda: DEFAULT_CONFIG)
     snapshot_every: int = 0   # >0: collect rgb/depth/center every N iters
                               # (reference snapshots at 10, trainer.py:573-582)
+    telemetry_t_final: bool = False  # compute residual-transmittance stats on
+                                     # K-overflowing tiles (diagnostic forward
+                                     # only — the hot loop is unaffected)
 
 
 class StageDynamics(NamedTuple):
@@ -93,8 +96,16 @@ def _activate(params: Params, n_alive):
 
 
 def _forward(params: Params, n_alive, state: FrameState, targets, intr,
-             weights: LossWeights, cfg: StageConfig, flow_prior=None):
-    """Render + losses. Returns (total, aux)."""
+             weights: LossWeights, cfg: StageConfig, flow_prior=None,
+             diag_t_final: bool = False):
+    """Render + losses. Returns (total, aux).
+
+    diag_t_final (static): append a ones feature channel whose composited
+    value is the per-pixel accumulated opacity sum(alpha_i * T_i); the
+    residual transmittance T_final = (1 - acc) / (1 - bg) then bounds what
+    the nearest-K per-tile truncation can possibly contribute — the
+    telemetry VERDICT r2 asked for next to tile_overflow. Only used on the
+    post-loop diagnostic forward."""
     extr = pose_to_extr(params.pose)
     scale, rotate, opacity, rgb = _activate(params, n_alive)
     proj = project_gaussians(
@@ -117,7 +128,10 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
     from ..ops.render import resolve_backend
 
     compose = _get_compositor(cfg.render)
-    feats = jnp.concatenate([rgb, depth], axis=1)  # fused rgb + depth pass
+    feat_list = [rgb, depth]  # fused rgb + depth pass
+    if diag_t_final:
+        feat_list.append(jnp.ones_like(depth))  # composites to sum(alpha*T)
+    feats = jnp.concatenate(feat_list, axis=1)
     move_mask = targets.move_mask
     if cfg.camera_only:
         # augment with the rendered moving-Gaussian coverage
@@ -179,6 +193,20 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
             (bins.tile_counts > cfg.render.max_per_tile).astype(jnp.float32)
         ),
     }
+    if diag_t_final:
+        # residual transmittance on K-overflowing tiles: the compositor's
+        # nearest-K truncation can shift a pixel by at most T_final (the
+        # weight the dropped farther splats would have shared)
+        acc = img[..., feats.shape[1] - 1]
+        t_final = jnp.clip(
+            (1.0 - acc) / jnp.maximum(1.0 - cfg.bg, 1e-6), 0.0, 1.0)
+        over = (bins.tile_counts > cfg.render.max_per_tile).reshape(
+            n_ty, n_tx)
+        overpix = jnp.repeat(jnp.repeat(over, TILE, 0), TILE, 1)[
+            : cfg.H, : cfg.W]
+        denom = jnp.maximum(jnp.sum(overpix), 1)
+        aux["t_final_overflow_mean"] = jnp.sum(t_final * overpix) / denom
+        aux["t_final_overflow_max"] = jnp.max(jnp.where(overpix, t_final, 0.0))
     return total, aux
 
 
@@ -411,7 +439,8 @@ def train_stage(params: Params, state: FrameState, targets, intr,
     if lean:
         # one final forward (no grad) for the stage's output render + uv
         _, aux_full = _forward(params, n_alive, state, targets, intr,
-                               dyn.weights, cfg, flow_prior=flow_prior)
+                               dyn.weights, cfg, flow_prior=flow_prior,
+                               diag_t_final=cfg.telemetry_t_final)
         aux = {**aux_full, "metrics": aux["metrics"]}
 
     if not cfg.camera_only:
@@ -431,6 +460,9 @@ def train_stage(params: Params, state: FrameState, targets, intr,
         "n_alive": n_alive,
         "tile_overflow": aux.get("tile_overflow", jnp.asarray(0.0)),
     }
+    for k in ("t_final_overflow_mean", "t_final_overflow_max"):
+        if k in aux:
+            info[k] = aux[k]
     if snapshots is not None:
         info["snapshots"] = snapshots
     return params, state, info

@@ -13,6 +13,7 @@ import time
 from pathlib import Path
 from typing import Optional
 
+import jax
 import numpy as np
 
 from ..core import io as gio
@@ -98,6 +99,7 @@ def main(
         background=background, sequence_path=sequence_path,
         logs_suffix=logs_suffix, common_logs=common_logs, seed=seed,
     )
+    trainer.telemetry = telemetry  # device/host phase attribution
     trainer.load_camera(focal=focal, pp=pp)
     if load_extr:
         trainer.load_camera(extr=extr_list[0])
@@ -242,6 +244,9 @@ def main(
 
     telemetry.gauge("tile_overflow_last",
                     getattr(trainer, "last_tile_overflow", None))
+    telemetry.gauge("t_final_overflow_last",
+                    getattr(trainer, "last_t_final", None))
+    telemetry.gauge("platform", jax.default_backend())
     telemetry.dump(os.path.join(trainer.dir, "telemetry.json"))
     print_color(f"Total time: {total_min:.2f} mins", color="green")
     print_color(

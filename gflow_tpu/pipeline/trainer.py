@@ -116,6 +116,10 @@ class GFlowTrainer:
         self.propagate_seg: np.ndarray | None = None
         self.mask_prompt_pts: np.ndarray | None = None
         self._traj = None
+        self.telemetry = None  # optional utils.profiling.Telemetry — when
+                               # set, train() attributes device vs host time
+        self.last_t_final = None  # residual-transmittance stats on
+                                  # K-overflowing tiles (set when telemetry)
 
         # log directory + "0_latest" link (trainer.py:89-112)
         self.dir = None
@@ -270,6 +274,10 @@ class GFlowTrainer:
             bg=self.bg,
             render=self.render_config,
             snapshot_every=10 if save_videos else 0,
+            # residual-transmittance stats on K-overflowing tiles (one extra
+            # feature channel on the post-loop diagnostic forward only)
+            telemetry_t_final=bool(self.telemetry is not None
+                                   and not camera_only),
         )
         dyn = StageDynamics.make(
             lr=lr, lr_camera=lr_camera,
@@ -285,11 +293,27 @@ class GFlowTrainer:
         targets = self._targets(move_mask=move_mask, occ_mask=mask)
         self.key, sub = jax.random.split(self.key)
         fn = self._stage_fn(cfg)
-        self.params, self.state, info = fn(
-            self.params, self.state, targets, self.intr, sub, dyn=dyn
-        )
+
+        import contextlib
+
+        tel = self.telemetry
+        phase = tel.phase if tel is not None else (
+            lambda name: contextlib.nullcontext())
+
+        with phase("device/stage"):
+            self.params, self.state, info = fn(
+                self.params, self.state, targets, self.intr, sub, dyn=dyn
+            )
+            # the stage call is async — block here so device time is
+            # attributed to the device phase, not to the first host consumer
+            jax.block_until_ready(info["uv"])
         self._last_info = info
         self.last_tile_overflow = float(info.get("tile_overflow", 0.0))
+        if "t_final_overflow_mean" in info:
+            self.last_t_final = {
+                "mean": float(info["t_final_overflow_mean"]),
+                "max": float(info["t_final_overflow_max"]),
+            }
 
         out = {
             "frames": [],
@@ -304,7 +328,8 @@ class GFlowTrainer:
         if "snapshots" in info:
             # snapshots arrive as device-quantized uint8 (incl. the turbo
             # depth colormap) — one stacked transfer, no host-side conversion
-            snaps = {k: np.asarray(v) for k, v in info["snapshots"].items()}
+            with phase("host/snapshot_transfer"):
+                snaps = {k: np.asarray(v) for k, v in info["snapshots"].items()}
             out["frames"] = list(snaps["rgb"])
             out["frames_center"] = list(snaps["center"])
             out["frames_depth"] = list(snaps["depth_map"])
@@ -312,50 +337,59 @@ class GFlowTrainer:
         # ---- post-update host work: move segmentation via concave hull
         # (trainer.py:604-609) ----
         if not camera_only:
-            uv = np.asarray(info["uv"])
-            n = int(info["n_alive"])
-            still = np.asarray(self.state.still_mask)
-            within = (
-                (uv[:, 0] > 0) & (uv[:, 0] < self.W - 1)
-                & (uv[:, 1] > 0) & (uv[:, 1] < self.H - 1)
-            )
-            within[n:] = False
-            moving = within & ~still
-            ratio = still[:n].sum() / max(n, 1)
-            print_color(f"\t[still] mask ratio is {ratio:.4f}")
-            if moving.sum() > 5:
-                hull = FastConcaveHull2D(uv[moving])
-                self.move_seg = (hull.mask(self.W, self.H) * 255).astype(np.uint8)
-                self.move_seg_erode = _erode(self.move_seg, 20)
-            if self.mask_prompt_pts is not None:
-                sel = np.zeros(len(uv), bool)
-                m = self.mask_prompt_pts
-                sel[: len(m)] = m
-                sel &= within
-                if sel.sum() > 4:
-                    hull = FastConcaveHull2D(uv[sel])
-                    self.propagate_seg = (hull.mask(self.W, self.H) * 255).astype(np.uint8)
+            with phase("host/hull_seg"):
+                uv = np.asarray(info["uv"])
+                n = int(info["n_alive"])
+                still = np.asarray(self.state.still_mask)
+                within = (
+                    (uv[:, 0] > 0) & (uv[:, 0] < self.W - 1)
+                    & (uv[:, 1] > 0) & (uv[:, 1] < self.H - 1)
+                )
+                within[n:] = False
+                moving = within & ~still
+                ratio = still[:n].sum() / max(n, 1)
+                print_color(f"\t[still] mask ratio is {ratio:.4f}")
+                if moving.sum() > 5:
+                    hull = FastConcaveHull2D(uv[moving])
+                    self.move_seg = (hull.mask(self.W, self.H) * 255).astype(np.uint8)
+                    self.move_seg_erode = _erode(self.move_seg, 20)
+                if self.mask_prompt_pts is not None:
+                    sel = np.zeros(len(uv), bool)
+                    m = self.mask_prompt_pts
+                    sel[: len(m)] = m
+                    sel &= within
+                    if sel.sum() > 4:
+                        hull = FastConcaveHull2D(uv[sel])
+                        self.propagate_seg = (hull.mask(self.W, self.H) * 255).astype(np.uint8)
 
         # ---- diagnostic renders + still/move decomposition (trainer.py:627-697)
         out["last_rgb"] = render2img(info["rgb"])
+        # subset renders are needed by BOTH the saved images and the returned
+        # still/move frames — render once, share (was 2x the device work)
+        subsets = None
+        if int(self.state.last_num) > 0:
+            with phase("host/diag_renders"):
+                subsets = (self._render_subset(still=True),
+                           self._render_subset(still=False))
         if save_imgs and self.dir:
-            self._save_stage_images(info, ckpt_name, out)
+            with phase("host/save_images"):
+                self._save_stage_images(info, ckpt_name, out, subsets=subsets)
         if save_videos and self.dir and out["frames"]:
             from ..viz.video import save_video
 
-            for nm, fr in [("training_rgb", out["frames"]),
-                           ("training_center", out["frames_center"]),
-                           ("training_depth", out["frames_depth"])]:
-                save_video(os.path.join(self.dir, f"{nm}.mp4"), fr, 30)
+            with phase("host/video_mux"):
+                for nm, fr in [("training_rgb", out["frames"]),
+                               ("training_center", out["frames_center"]),
+                               ("training_depth", out["frames_depth"])]:
+                    save_video(os.path.join(self.dir, f"{nm}.mp4"), fr, 30)
         if save_ckpt:
-            self.save_checkpoint(ckpt_name=ckpt_name)
+            with phase("host/checkpoint"):
+                self.save_checkpoint(ckpt_name=ckpt_name)
 
         out["move_seg"] = self.move_seg
-        if int(self.state.last_num) > 0:
-            s = self._render_subset(still=True)
-            m = self._render_subset(still=False)
-            out["still_rgb"], out["still_center"] = s
-            out["move_rgb"], out["move_center"] = m
+        if subsets is not None:
+            (out["still_rgb"], out["still_center"]) = subsets[0]
+            (out["move_rgb"], out["move_center"]) = subsets[1]
         return out
 
     # ------------------------------------------------------------------
@@ -396,7 +430,7 @@ class GFlowTrainer:
         )
         return render2img(outs["rgb"]), render2img(outs["center"])
 
-    def _save_stage_images(self, info, ckpt_name, out):
+    def _save_stage_images(self, info, ckpt_name, out, subsets=None):
         import imageio.v2 as imageio
 
         img_dir = os.path.join(self.dir, "images")
@@ -408,9 +442,8 @@ class GFlowTrainer:
                         render2img(views["center"]))
         imageio.imwrite(os.path.join(img_dir, f"img_depth_{ckpt_name}.png"),
                         render2img(views["depth_map_color"]))
-        if int(self.state.last_num) > 0:
-            srgb, scen = self._render_subset(still=True)
-            mrgb, mcen = self._render_subset(still=False)
+        if subsets is not None:
+            (srgb, scen), (mrgb, mcen) = subsets
             imageio.imwrite(os.path.join(img_dir, f"img_still_{ckpt_name}.png"), srgb)
             imageio.imwrite(os.path.join(img_dir, f"img_still_center_{ckpt_name}.png"), scen)
             imageio.imwrite(os.path.join(img_dir, f"img_move_{ckpt_name}.png"), mrgb)
