@@ -1,5 +1,7 @@
 """Benchmark: end-to-end per-frame fit cost at the reference's canonical
 config (480p, 50k Gaussians, 150 camera-only + 300 full iterations per frame
+WITH the canonical densification schedule: occluded-region densify at
+iteration 0 (percent 0.5) plus error-driven densify every 100 iterations x2
 — scripts/fit_video.sh:15-48), on one real TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -69,11 +71,21 @@ def main():
     weights = LossWeights.make(rgb=1.0, depth=0.1, var=50.0, flow=0.01)
     dyn_cam = StageDynamics.make(lr=1e-2, lr_camera=1e-3, weights=weights,
                                  num_points=N)
+    # canonical densify dynamics (fit_video.sh: occ 0.5, err_thre 1e-2,
+    # err_percent 1.0)
     dyn_full = StageDynamics.make(lr=1e-3, lr_camera=0.0, weights=weights,
-                                  num_points=N)
+                                  num_points=N, densify_occ_percent=0.5,
+                                  densify_err_thre=1e-2,
+                                  densify_err_percent=1.0)
     cfg_cam = StageConfig(W=W, H=H, iterations=iters_camera, camera_only=True,
                           render=rcfg)
-    cfg_full = StageConfig(W=W, H=H, iterations=iters_full, render=rcfg)
+    # canonical per-frame full stage: densify_occ at iter 0 + error-driven
+    # every 100 iterations x2 (fit_video.sh --densify-interval-after 100
+    # --densify-times-after 2 --densify-occ-percent 0.5); max_densify matches
+    # the pipeline driver's default (pipeline/trainer.py: min(capacity,16384))
+    cfg_full = StageConfig(W=W, H=H, iterations=iters_full, render=rcfg,
+                           densify_occ=True, densify_interval=100,
+                           densify_times=2, max_densify=min(CAP, 16384))
 
     f_cam = jax.jit(functools.partial(train_stage, cfg=cfg_cam, dyn=dyn_cam))
     f_full = jax.jit(functools.partial(train_stage, cfg=cfg_full, dyn=dyn_full))
@@ -98,7 +110,8 @@ def main():
     sec_per_frame = (time.time() - t0) / n_frames
 
     print(json.dumps({
-        "metric": "sec/frame fit (480p, 50k pts, 150 camera + 300 full iters)",
+        "metric": "sec/frame fit (480p, 50k pts, 150 camera + 300 full iters,"
+                  " canonical densify occ+100x2)",
         "value": round(sec_per_frame, 3),
         "unit": "s/frame",
         "vs_baseline": round(A100_REFERENCE_SEC_PER_FRAME / sec_per_frame, 3),
