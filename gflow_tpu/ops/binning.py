@@ -152,7 +152,9 @@ def _pack_tile_lists(idx_s, starts, tile_counts, K: int, L: int):
         return jnp.where(in_seg, idx_s[pos], -1)
 
     n_rows = L // _ROW
-    NR = K // _ROW + 1  # rows spanned by a K-window at arbitrary offset
+    # rows spanned by a K-window at arbitrary lane offset rot in [0, _ROW):
+    # need NR*_ROW >= rot + K for any rot, i.e. ceil((K + _ROW - 1) / _ROW)
+    NR = (K + 2 * (_ROW - 1)) // _ROW
     idx2d = idx_s.reshape(n_rows, _ROW)
     r0 = starts >> _ROW_BITS
     rows = jnp.minimum(

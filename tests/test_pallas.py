@@ -98,6 +98,34 @@ def test_fused_coverage_matches_two_pass():
                                   np.asarray(cov_ref[..., 0]) > 1e-6)
 
 
+@pytest.mark.parametrize("K", [64, 96, 128, 192])
+def test_rotate_pack_any_K_matches_K256_prefix(K):
+    """The TPU row-gather+rotate pack must be exact for K not a multiple of
+    128 (round-2 advisor finding: NR rows only covered rot+K when K%128==0
+    — dryrun's K=64 and the K-quality probe ran through the corrupt path).
+    The depth-sorted stream is identical for any cap, so tile_lists at cap K
+    must equal the first K columns of the K=256 lists."""
+    rng = np.random.default_rng(7)
+    n = 4096
+    xyz = jnp.asarray(
+        np.c_[rng.uniform(-1, 1, (n, 2)), rng.uniform(2, 6, (n, 1))],
+        jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.01, 0.08, (n, 3)), jnp.float32)
+    rotate = jnp.asarray(np.tile([1, 0, 0, 0], (n, 1)), jnp.float32)
+    W, H = 160, 96
+    intr = default_intrinsics(W, H)
+    extr = jnp.asarray(np.c_[np.eye(3), np.zeros(3)], jnp.float32)
+    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    ref = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                        256, 32)
+    got = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                        K, 32)
+    np.testing.assert_array_equal(np.asarray(got.tile_counts),
+                                  np.asarray(ref.tile_counts))
+    np.testing.assert_array_equal(np.asarray(got.tile_lists),
+                                  np.asarray(ref.tile_lists)[:, :K])
+
+
 def test_pallas_odd_size_matches_xla():
     """Image sizes not multiples of 16 exercise the tile-grid padding and
     crop paths inside the pallas wrapper."""
