@@ -327,6 +327,24 @@ def train_stage(params: Params, state: FrameState, targets, intr,
             tile_overflow=jnp.asarray(0.0),
         )
 
+    # ---- static densify schedule ----
+    # The schedule is fully static (iteration-0 occ + every-interval err,
+    # reference trainer.py:560-571), so densify runs BETWEEN Python-level
+    # fori segments rather than behind a lax.cond inside the hot loop: the
+    # in-loop cond forced the (H, W) error map + a both-branches densify
+    # expansion into every iteration (~1.5 ms/iter at 480p/50k measured).
+    # Each (kind, e) means "densify after iteration e completes".
+    events: list = []
+    if not cfg.camera_only:
+        if cfg.densify_occ:
+            events.append(("occ", 0))
+        if cfg.densify_interval > 0:
+            for t in range(1, cfg.densify_times + 1):
+                e = cfg.densify_interval * t - 1
+                if e < cfg.iterations and ("occ", e) not in events:
+                    events.append(("err", e))
+    events.sort(key=lambda kv: kv[1])
+
     def one_iter(i, carry):
         params, opt_state, n_alive, key, _ = carry
 
@@ -348,11 +366,35 @@ def train_stage(params: Params, state: FrameState, targets, intr,
             params, grads, opt_state, lr_attr, lr_pose, lr_depth
         )
 
-        # ---- densification ----
-        if not cfg.camera_only and (cfg.densify_occ or cfg.densify_interval > 0):
+        if lean:
+            aux = {k: aux[k] for k in ("uv", "depth", "metrics")}
+        return params, opt_state, n_alive, key, aux
+
+    def one_iter_cond_densify(i, carry):
+        """Snapshot-path variant: densify behind a lax.cond inside the loop
+        (the snapshot scan's chunk boundaries don't align with the static
+        event schedule; this path trades ~1.5 ms/iter for simplicity and is
+        only used when save_videos collects training snapshots)."""
+        params, opt_state, n_alive, key, _ = carry
+
+        def loss_fn(p):
+            return _forward(p, n_alive, state, targets, intr, dyn.weights,
+                            cfg, flow_prior=flow_prior)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = _gate_grads(grads, state, n_alive, cfg.camera_only)
+        factor = 1.0 - 0.9 * i.astype(jnp.float32) / cfg.iterations
+        pd = opt_state.post_densify
+        lr_attr = jnp.where(pd, dyn.lr, dyn.lr * factor)
+        lr_pose = jnp.where(pd, 0.0, dyn.lr_camera * factor)
+        lr_depth = jnp.where(pd, 0.0, dyn.lr * factor)
+        params, opt_state = adam_update(
+            params, grads, opt_state, lr_attr, lr_pose, lr_depth
+        )
+
+        if events:
             key, k1 = jax.random.split(key)
-            do_occ = cfg.densify_occ and True
-            occ_cond = (i == 0) if do_occ else jnp.asarray(False)
+            occ_cond = (i == 0) if cfg.densify_occ else jnp.asarray(False)
             err_cond = jnp.asarray(False)
             if cfg.densify_interval > 0:
                 err_cond = ((i + 1) % cfg.densify_interval == 0) & (
@@ -362,9 +404,6 @@ def train_stage(params: Params, state: FrameState, targets, intr,
             def do_densify(args):
                 params, opt_state, n_alive = args
                 err_map = aux["loss_rgb_pixel"]
-                # occluded-region densify uses a uniform map over the occ
-                # mask; error-driven uses the rgb error above threshold
-                # (trainer.py:560-571)
                 use_occ = occ_cond
                 emap = jnp.where(use_occ, jnp.ones_like(err_map), err_map)
                 mask = jnp.where(
@@ -387,17 +426,45 @@ def train_stage(params: Params, state: FrameState, targets, intr,
                 lambda args: args,
                 (params, opt_state, n_alive),
             )
+        return params, opt_state, n_alive, key, aux
 
-        if lean:
-            aux = {k: aux[k] for k in ("uv", "depth", "metrics")}
+    def apply_densify(carry, kind: str):
+        """Densify between loop segments. 'occ': uniform map over the occ
+        mask; 'err': rgb error above threshold, from one extra forward at
+        the current params (one optimizer step newer than the in-loop
+        formulation's map — immaterial to the stochastic sampling)."""
+        params, opt_state, n_alive, key, aux = carry
+        key, k1 = jax.random.split(key)
+        if kind == "err":
+            _, auxf = _forward(params, n_alive, state, targets, intr,
+                               dyn.weights, cfg, flow_prior=flow_prior)
+            err_map = auxf["loss_rgb_pixel"]
+            emap = err_map
+            mask = err_map > dyn.densify_err_thre
+            percent = dyn.densify_err_percent
+        else:
+            emap = jnp.ones((cfg.H, cfg.W), jnp.float32)
+            mask = targets.occ_mask
+            percent = dyn.densify_occ_percent
+        extr = pose_to_extr(params.pose)
+        params, n_alive, _ = densify_by_pixels(
+            params, n_alive, emap, mask, targets.image, targets.depth,
+            intr, extr, dyn.num_points, percent, k1, cfg.max_densify,
+        )
+        opt_state = reset_opt_after_densify(opt_state, params)
         return params, opt_state, n_alive, key, aux
 
     init_carry = (params, opt_state, n_alive0, key, dummy_aux)
     snapshots = None
     if cfg.snapshot_every <= 0:
-        params, opt_state, n_alive, key, aux = jax.lax.fori_loop(
-            0, cfg.iterations, one_iter, init_carry
-        )
+        carry = init_carry
+        prev = 0
+        for kind, e in events:
+            carry = jax.lax.fori_loop(prev, e + 1, one_iter, carry)
+            carry = apply_densify(carry, kind)
+            prev = e + 1
+        carry = jax.lax.fori_loop(prev, cfg.iterations, one_iter, carry)
+        params, opt_state, n_alive, key, aux = carry
     else:
         every = cfg.snapshot_every
         n_chunks = -(-cfg.iterations // every)
@@ -405,7 +472,8 @@ def train_stage(params: Params, state: FrameState, targets, intr,
         def chunk(carry, c):
             start = c * every
             end = jnp.minimum(cfg.iterations, start + every)
-            carry = jax.lax.fori_loop(start, end, one_iter, carry)
+            carry = jax.lax.fori_loop(start, end, one_iter_cond_densify,
+                                      carry)
             p, _, n_alive_c, _, aux_c = carry
             # diagnostic "center" view: identity conic, opacity 1
             # (reference render.py:93-106)
