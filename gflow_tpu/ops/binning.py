@@ -51,6 +51,8 @@ def _rect_grid_dims(max_tiles_per_gaussian: int) -> tuple[int, int]:
         return 8, 4
     if m >= 16:
         return 4, 4
+    if m >= 12:
+        return 4, 3
     return 4, 2
 
 
