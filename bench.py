@@ -42,7 +42,7 @@ from gflow_tpu.ops.render import RenderConfig
 def main():
     W, H = 854, 480
     N = 50_000
-    CAP = 65_536
+    CAP = 51_200
     iters_camera, iters_full = 150, 300
 
     rng = np.random.default_rng(0)
@@ -67,7 +67,10 @@ def main():
         move_mask=jnp.zeros((H, W), bool),
         occ_mask=jnp.zeros((H, W), bool),
     )
-    rcfg = RenderConfig()
+    # the same scene-adaptive caps the pipeline picks at this config
+    # (854x480/50k => max_tiles_per_gaussian 8, max_per_tile 96 — see
+    # RenderConfig.for_scene + M_QUALITY.json/K_QUALITY.json)
+    rcfg = RenderConfig.for_scene(W, H, N)
     weights = LossWeights.make(rgb=1.0, depth=0.1, var=50.0, flow=0.01)
     dyn_cam = StageDynamics.make(lr=1e-2, lr_camera=1e-3, weights=weights,
                                  num_points=N)

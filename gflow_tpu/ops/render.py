@@ -37,6 +37,33 @@ class RenderConfig:
     center_scale: float = 10.0  # matches render_multiple's default (render.py:8)
     backend: str = "auto"  # "auto" | "xla" | "pallas"
 
+    @classmethod
+    def for_scene(cls, W: int, H: int, num_points: int) -> "RenderConfig":
+        """Scene-adaptive caps (the GFlowTrainer default).
+
+        max_tiles_per_gaussian sets both the binning sort-stream length
+        (capacity * M keys) and the radius clamp
+        (projection.supported_max_radius: M=8 -> 8 px, 12 -> 16, 16 -> 24):
+        pick the smallest M whose supported radius still covers ~2.5x the
+        expected splat spacing sqrt(W*H/N). Measured at 854x480/50k
+        (M_QUALITY.json): the tighter M=8 clamp *improves* PSNR (the clamp
+        regularizes oversized splats) and cuts tile overflow 0.99 -> 0.25.
+
+        In that dense regime the overflow drop also makes K=96 safe:
+        M=8/K=96 fits to 43.3 dB vs 42.4 at M=16/K=128 while 17% faster
+        (probe in the M_QUALITY commit); K=64 loses 10 dB — not taken.
+        Sparser scenes keep K=128 (K_QUALITY.json: at high overflow, K=96
+        costs 3.9 dB)."""
+        import math
+
+        spacing = math.sqrt(W * H / max(num_points, 1))
+        need = 2.5 * spacing
+        for m in (8, 12, 16):
+            if supported_max_radius(m) >= need:
+                return cls(max_per_tile=96 if m == 8 else 128,
+                           max_tiles_per_gaussian=m)
+        return cls(max_per_tile=128, max_tiles_per_gaussian=32)
+
 
 DEFAULT_CONFIG = RenderConfig()
 

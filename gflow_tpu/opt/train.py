@@ -108,6 +108,15 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
     post-loop diagnostic forward."""
     extr = pose_to_extr(params.pose)
     scale, rotate, opacity, rgb = _activate(params, n_alive)
+    if cfg.camera_only:
+        # Pose reaches the loss only through uv/conic/depth (projection);
+        # per-gaussian opacity and rgb are pose-independent and their grads
+        # are gated off anyway — stop_gradient here lets XLA drop their
+        # columns from the compositor-backward gradient scatter-add (the
+        # single most expensive per-iter op) in the 150-iteration camera
+        # stage.
+        opacity = jax.lax.stop_gradient(opacity)
+        rgb = jax.lax.stop_gradient(rgb)
     proj = project_gaussians(
         params.xyz, scale, rotate, intr, extr, cfg.W, cfg.H,
         max_radius=supported_max_radius(cfg.render.max_tiles_per_gaussian),

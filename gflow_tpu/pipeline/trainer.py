@@ -75,7 +75,7 @@ class GFlowTrainer:
         logs_suffix: str = "_logs",
         common_logs: bool = True,
         capacity: int | None = None,
-        render_config: RenderConfig = DEFAULT_CONFIG,
+        render_config: RenderConfig | None = None,  # None: RenderConfig.for_scene
         seed: int = 0,
         make_logs: bool = True,
     ):
@@ -85,12 +85,21 @@ class GFlowTrainer:
         self.num_points = int(num_points)
         self.H, self.W = self.gt_image.shape[:2]
         self.bg = BACKGROUNDS.get(background, 0.0)
+        if render_config is None:
+            render_config = RenderConfig.for_scene(self.W, self.H,
+                                                   self.num_points)
         self.render_config = render_config
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
 
         if capacity is None:
-            capacity = max(1024, 1 << int(np.ceil(np.log2(self.num_points * 2))))
+            # num_points + 50% densification headroom, rounded up to 1024
+            # lanes. Every capacity-shaped op (sort stream, projection, Adam)
+            # scales with this, so tight-but-sufficient beats next-pow2
+            # (131k for 50k points cost ~20% extra per iteration); densify
+            # clamps to free slots and _grow_capacity re-pads on checkpoint
+            # load if a sequence outgrows it.
+            capacity = max(1024, -(-int(self.num_points * 1.5) // 1024) * 1024)
         self.capacity = capacity
 
         self.intr = default_intrinsics(self.W, self.H)
