@@ -74,7 +74,6 @@ def eval_tracking(sequence_path, load_path, background="black", resize=None):
     depth the 0.05 threshold was designed for; on saturated scenes (the
     reference's operating regime) the two are identical."""
     from ..pipeline.trainer import GFlowTrainer
-    from ..ops.render import render
 
     ckpt_paths = sorted(glob.glob(os.path.join(load_path, "ckpt", "*.npz")))
     if not ckpt_paths:

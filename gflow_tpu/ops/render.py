@@ -18,6 +18,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -66,6 +68,28 @@ class RenderConfig:
 
 
 DEFAULT_CONFIG = RenderConfig()
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_render(bg: float, W: int, H: int, outputs: tuple,
+                     config: RenderConfig):
+    return jax.jit(functools.partial(render, bg=bg, W=W, H=H,
+                                     outputs=outputs, config=config))
+
+
+def render_jit(xyz, scale, rotate, opacity, rgb, intr, extr, bg, W, H,
+               outputs=("rgb", "uv", "depth", "depth_map", "depth_map_color",
+                        "center"),
+               config: RenderConfig = DEFAULT_CONFIG):
+    """Jit-cached render for HOST callers (diagnostic/eval/viewer paths).
+
+    Plain render() executes eagerly — fine while tracing inside a larger
+    jit, but from host code every op dispatches individually through the
+    device tunnel (measured ~17 s per diagnostic still/move render pair at
+    480p vs milliseconds compiled). Cache key: the static call shape."""
+    return _compiled_render(float(bg), int(W), int(H), tuple(outputs),
+                            config)(xyz, scale, rotate, opacity, rgb,
+                                    intr, extr)
 
 
 def render(
@@ -211,6 +235,31 @@ def render_traj(
         bins.tile_lists, uv, traj_conic, opacity, rgb, bg, W, H, n_tx, n_ty,
         tile_counts=bins.tile_counts,
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_render_traj(bg, W, H, point_num, line_scale, point_scale,
+                          config):
+    def go(xyz, scale, rotate, opacity, rgb, intr, extr, n_actual):
+        return render_traj(xyz, scale, rotate, opacity, rgb, intr, extr,
+                           bg, W, H, point_num, line_scale, point_scale,
+                           config, n_actual)
+
+    return jax.jit(go)
+
+
+def render_traj_jit(xyz, scale, rotate, opacity, rgb, intr, extr, bg, W, H,
+                    point_num, line_scale=1.0, point_scale=2.0,
+                    config: RenderConfig = DEFAULT_CONFIG, n_actual=None):
+    """Jit-cached render_traj for host callers (see render_jit). n_actual is
+    a traced scalar so per-frame point counts reuse one compile."""
+    if n_actual is None:
+        n_actual = xyz.shape[0]
+    return _compiled_render_traj(
+        float(bg), int(W), int(H), int(point_num), float(line_scale),
+        float(point_scale), config,
+    )(xyz, scale, rotate, opacity, rgb, intr, extr,
+      jnp.asarray(n_actual, jnp.int32))
 
 
 def resolve_backend(config: RenderConfig) -> str:

@@ -39,7 +39,8 @@ from ..opt import (
     train_stage,
 )
 from ..opt.initialize import init_params_from_image
-from ..ops.render import RenderConfig, DEFAULT_CONFIG, render, render2img, render_traj
+from ..ops.render import (RenderConfig, DEFAULT_CONFIG, render2img,
+                          render_jit, render_traj_jit)
 from ..ops.projection import project_gaussians
 from ..utils.hull import FastConcaveHull2D
 from ..viz.colormap import apply_float_colormap, print_color
@@ -419,7 +420,7 @@ class GFlowTrainer:
 
     def render_views(self, outputs=("rgb", "center", "depth_map_color")):
         xyz, scale, rotate, opacity, rgb = self._activated()
-        return render(
+        return render_jit(
             xyz, scale, rotate, opacity, rgb, self.intr, self.get_extr(),
             self.bg, self.W, self.H, outputs, self.render_config,
         )
@@ -433,7 +434,7 @@ class GFlowTrainer:
         sm = np.asarray(self.state.still_mask)
         sel[:n_prev] = sm[:n_prev] if still else ~sm[:n_prev]
         opacity = opacity * jnp.asarray(sel)[:, None]
-        outs = render(
+        outs = render_jit(
             xyz, scale, rotate, opacity, rgb, self.intr, self.get_extr(),
             self.bg, self.W, self.H, ("rgb", "center"), self.render_config,
         )
@@ -659,7 +660,7 @@ class GFlowTrainer:
         op_p[:nt] = t["opacity"]
         rgb_p = np.zeros((cap, 3), np.float32)
         rgb_p[:nt] = t["rgb"]
-        traj_img = render_traj(
+        traj_img = render_traj_jit(
             jnp.asarray(xyz_p),
             jnp.full((cap, 3), 1e-6),
             jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (cap, 1)),

@@ -110,7 +110,7 @@ class ViewerState:
                follow: bool):
         import jax.numpy as jnp
 
-        from ..ops.render import render, render2img
+        from ..ops.render import render_jit, render2img
 
         f = self.frames[frame % len(self.frames)]
         extr = f["extr"]
@@ -147,7 +147,7 @@ class ViewerState:
             extr = np.linalg.inv(c2w_new)[:3]
 
         with self.lock:
-            out = render(
+            out = render_jit(
                 f["xyz"], f["scale"], f["rotate"], f["opacity"], f["rgb"],
                 f["intr"], jnp.asarray(extr, jnp.float32), 0.0,
                 self.W, self.H, ("rgb",),
