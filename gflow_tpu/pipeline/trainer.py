@@ -547,7 +547,10 @@ class GFlowTrainer:
         os.makedirs(os.path.join(self.dir, "ckpt"), exist_ok=True)
         path = os.path.join(self.dir, "ckpt", f"{ckpt_name}.npz")
         n = int(self.state.n_alive)
-        np.savez_compressed(
+        # uncompressed: zlib of the ~12MB payload costs ~4s per frame on a
+        # 1-CPU host (measured in the QUALITY phase split) for a ~30%
+        # size win; the reference's torch.save is uncompressed too
+        np.savez(
             path,
             xyz=np.asarray(self.params.xyz[:n]),
             scale=np.asarray(self.params.scale[:n]),
