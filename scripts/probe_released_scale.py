@@ -40,17 +40,22 @@ def device_mem():
         return None
 
 
-def timed_chain(apply_fn, n: int):
-    """apply_fn(eps_scalar) -> scalar; returns sec/call via a jitted chain
-    of n data-dependent calls."""
+def timed_chain(apply_fn, params, n: int):
+    """apply_fn(params, eps_scalar) -> scalar; returns sec/call via a jitted
+    chain of n data-dependent calls. params MUST be an explicit argument:
+    closing over the weight pytree bakes it into the lowered module as
+    constants (2.3GB for ViT-L), which the tunnel then ships with the
+    executable — as an argument the already-device-resident buffers are
+    passed by reference."""
 
     @jax.jit
-    def chain(e0):
-        return jax.lax.fori_loop(0, n, lambda i, e: apply_fn(e * 1e-6), e0)
+    def chain(p, e0):
+        return jax.lax.fori_loop(0, n, lambda i, e: apply_fn(p, e * 1e-6),
+                                 e0)
 
-    chain(jnp.float32(0.0)).block_until_ready()  # compile
+    chain(params, jnp.float32(0.0)).block_until_ready()  # compile
     t0 = time.perf_counter()
-    chain(jnp.float32(1.0)).block_until_ready()
+    chain(params, jnp.float32(1.0)).block_until_ready()
     return (time.perf_counter() - t0) / n
 
 
@@ -70,11 +75,11 @@ def probe_mast3r():
     t_init = time.perf_counter() - t0
     n_params = sum(x.size for x in jax.tree.leaves(params))
 
-    def one(eps):
-        o1, o2 = model.apply(params, img0 + eps, img1 - eps)
+    def one(p, eps):
+        o1, o2 = model.apply(p, img0 + eps, img1 - eps)
         return jnp.mean(o1["pts3d"]) + jnp.mean(o2["conf"])
 
-    sec_per_pair = timed_chain(one, 4)
+    sec_per_pair = timed_chain(one, params, 4)
     return {
         "config": "ViT-L 1024/24 + dec 768/12, catmlp+dpt, two-view 512x384",
         "n_params_M": round(n_params / 1e6, 1),
@@ -99,10 +104,10 @@ def probe_gmflow():
     t_init = time.perf_counter() - t0
     n_params = sum(x.size for x in jax.tree.leaves(params))
 
-    def one(eps):
-        return jnp.mean(model.apply(params, img0 + eps, img1 - eps))
+    def one(p, eps):
+        return jnp.mean(model.apply(p, img0 + eps, img1 - eps))
 
-    sec_per_pair = timed_chain(one, 4)
+    sec_per_pair = timed_chain(one, params, 4)
     return {
         "config": "GMFlow scale2-regrefine6 128ch/6L, 864x480",
         "n_params_M": round(n_params / 1e6, 1),
