@@ -79,11 +79,21 @@ def _edge_relative_pose(pts_j_in_i, pts_j_self, conf, n_sample=4096, rng=None):
 
 @functools.partial(jax.jit, static_argnames=("steps",))
 def _refine(pose_params, log_scales, edges_i, edges_j, src_pts, dst_pts,
-            conf_w, lr, steps: int):
+            conf_w, lr, t_scale, steps: int):
     """Adam over per-frame pose (quat xyzw + trans, cam2world) and log
     depth-scales. src_pts: (E, S, 3) canonical frame-j points; dst_pts:
     (E, S, 3) same points as predicted in frame i. Loss: weighted L2 of
-    world-frame disagreement."""
+    world-frame disagreement.
+
+    Step sizing: Adam's per-step movement is ~lr in raw parameter units, so
+    a single lr across groups is dimensionally wrong — 0.07 is a fine
+    *relative* rate but a catastrophic absolute one (0.07 quaternion units
+    ~ 4 deg/step obliterated a 0.9%-error 200-frame chain init into an
+    untangleable local minimum, measured). Updates are therefore scaled
+    per group: translations by t_scale (the median edge baseline — the
+    natural length unit of the problem, passed in by the caller), rotations
+    and log-scales by 0.05 (lr=0.07 -> ~0.2 deg / 0.35% scale per step),
+    with the stage lr cosine-decayed to 0 (as dust3r's aligner schedules)."""
 
     def world(pts, fidx, poses, scales):
         q = poses[fidx, :4]
@@ -106,17 +116,35 @@ def _refine(pose_params, log_scales, edges_i, edges_j, src_pts, dst_pts,
 
     import optax
 
-    opt = optax.adam(lr)
+    sched = optax.cosine_decay_schedule(lr, max(steps, 1))
+    opt = optax.adam(sched)
     params = (pose_params, log_scales)
     state = opt.init(params)
+    ROT_SCALE = 0.05
 
     def body(_, carry):
         params, state = carry
         l, g = jax.value_and_grad(loss_fn)(params)
-        # anchor frame 0 (gauge freedom)
-        g = (g[0].at[0].set(0.0), g[1].at[0].set(0.0))
+        # anchor frame 0's pose (rigid gauge freedom)
+        g = (g[0].at[0].set(0.0), g[1])
         updates, state = opt.update(g, state)
-        return jax.tree.map(lambda p, u: p + u, params, updates), state
+        u_pose, u_scale = updates
+        u_pose = jnp.concatenate(
+            [u_pose[:, :4] * ROT_SCALE, u_pose[:, 4:] * t_scale], axis=1)
+        updates = (u_pose, u_scale * ROT_SCALE)
+        poses, scales = jax.tree.map(lambda p, u: p + u, params, updates)
+        # Fix the GLOBAL scale gauge every step (dust3r norm_pw_scale):
+        # uniformly shrinking the whole scene (all scales AND translations
+        # by e^-mu) lowers the squared loss ~e^-2mu without improving the
+        # alignment, so Adam steadily collapses the scale — 200-frame
+        # chains drifted to 0.3x and 80% relative-pose error. Re-centering
+        # log-scales + rescaling translations is a PURE gauge transform
+        # (every world point scales identically), applied each step so the
+        # collapse mode cannot accumulate.
+        mu = jnp.mean(scales)
+        scales = scales - mu
+        poses = poses.at[:, 4:].multiply(jnp.exp(-mu))
+        return (poses, scales), state
 
     (pose_params, log_scales), _ = jax.lax.fori_loop(
         0, steps, body, (params, state)
@@ -221,11 +249,19 @@ def global_align(
     )
     log_scales = jnp.asarray(scales, jnp.float32)
 
+    # translation step unit: the median edge baseline of the init (floored
+    # by a fraction of the scene's point norm so a static camera still
+    # refines) — see _refine's step-sizing note
+    base = np.linalg.norm(trans[ei] - trans[ej], axis=1)
+    scene_norm = float(np.median(np.linalg.norm(dst, axis=-1)))
+    t_scale = max(float(np.median(base)), 0.02 * scene_norm, 1e-6)
+
     for lr, steps in ((lr1, steps1), (lr2, steps2)):
         pose_params, log_scales, final_loss = _refine(
             pose_params, log_scales, jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(cw),
-            jnp.asarray(lr, jnp.float32), steps,
+            jnp.asarray(lr, jnp.float32),
+            jnp.asarray(t_scale, jnp.float32), steps,
         )
 
     # --- outputs ---
