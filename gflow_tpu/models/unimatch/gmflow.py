@@ -423,20 +423,56 @@ def local_correlation_with_flow(feat0, feat1, flow, radius: int):
     coords + window_grid + flow, zero padding). NOTE this is NOT
     warp-then-shift — the flow displacement is evaluated at the center
     pixel x for every offset, so each of the (2r+1)^2 taps is its own
-    fractional sample."""
+    fractional sample.
+
+    TPU formulation: per-tap bilinear gathers are row-descriptor-bound
+    (4*(2r+1)^2 gathers/pixel = 77 ms/call at 216x120/128ch — this op WAS
+    the entire GMFlow runtime at 6 refine iterations). Because the window
+    offsets are integers, every tap shares the center's fractional part,
+    and because bilinear interpolation is linear it commutes with the
+    channel contraction. So: ONE patch gather per pixel (the (2r+2)^2
+    integer neighborhood of floor(x + flow), zero-padded), contract with
+    feat0 over channels into a scalar dot grid, then assemble all taps as
+    a 4-term bilinear combine of shifted views of that grid. Identical
+    values, ~25x fewer gather descriptors."""
     B, H, W, C = feat0.shape
     r = radius
+    P = 2 * r + 2  # taps span floor(base) + [-r, r+1] in each axis
     grid = _coords_grid(B, H, W)
-    offs = jnp.asarray(
-        [(dx, dy) for dy in range(-r, r + 1) for dx in range(-r, r + 1)],
-        jnp.float32,
-    )  # (P, 2), row-major dy-outer like upstream generate_window_grid
-    P = offs.shape[0]
-    coords = (grid[:, :, :, None, :] + offs[None, None, None]
-              + flow[:, :, :, None, :])  # (B, H, W, P, 2)
-    sampled = _bilinear_sample(
-        feat1, coords.reshape(B, H, W * P, 2)).reshape(B, H, W, P, C)
-    return jnp.einsum("bhwc,bhwpc->bhwp", feat0, sampled) / jnp.sqrt(C)
+    base = grid + flow
+    fl = jnp.floor(base)
+    fr = base - fl
+
+    # zero-pad by P: tap index < 0 or >= W reads an exact zero (grid_sample
+    # padding_mode='zeros'); clipping the patch start only activates when
+    # the whole window is out of bounds, where it lands fully in the pad
+    f1p = jnp.pad(feat1, ((0, 0), (P, P), (P, P), (0, 0)))
+    sy = jnp.clip(fl[..., 1] - r + P, 0, H + P).astype(jnp.int32)
+    sx = jnp.clip(fl[..., 0] - r + P, 0, W + P).astype(jnp.int32)
+
+    def patches_one(img, sy1, sx1):
+        starts = jnp.stack([sy1.reshape(-1), sx1.reshape(-1)], axis=1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        return jax.lax.gather(img, starts, dn, slice_sizes=(P, P, C),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    patches = jax.vmap(patches_one)(f1p, sy, sx)  # (B, H*W, P, P, C)
+    dots = jnp.einsum(
+        "bnc,bnpqc->bnpq", feat0.reshape(B, H * W, C), patches
+    ) / jnp.sqrt(C)
+    k = 2 * r + 1
+    d00 = dots[:, :, 0:k, 0:k]
+    d01 = dots[:, :, 0:k, 1:k + 1]
+    d10 = dots[:, :, 1:k + 1, 0:k]
+    d11 = dots[:, :, 1:k + 1, 1:k + 1]
+    wx = fr[..., 0].reshape(B, H * W)[:, :, None, None]
+    wy = fr[..., 1].reshape(B, H * W)[:, :, None, None]
+    corr = ((1 - wx) * (1 - wy) * d00 + wx * (1 - wy) * d01
+            + (1 - wx) * wy * d10 + wx * wy * d11)
+    # (dy, dx) row-major — matches upstream generate_window_grid ordering
+    return corr.reshape(B, H, W, k * k)
 
 
 class BasicMotionEncoder(nn.Module):
