@@ -172,13 +172,13 @@ def test_eval_traj_reuses_padded_shapes(tmp_path, monkeypatch):
     from gflow_tpu.pipeline import trainer as trmod
 
     shapes = []
-    orig = trmod.render_traj
+    orig = trmod.render_traj_jit
 
     def spy(xyz, *a, **k):
         shapes.append(xyz.shape[0])
         return orig(xyz, *a, **k)
 
-    monkeypatch.setattr(trmod, "render_traj", spy)
+    monkeypatch.setattr(trmod, "render_traj_jit", spy)
 
     img, depth = synthetic_frame()
     t = trmod.GFlowTrainer(gt_image=img, gt_depth=depth, num_points=200,
