@@ -354,8 +354,10 @@ def train_stage(params: Params, state: FrameState, targets, intr,
                     events.append(("err", e))
     events.sort(key=lambda kv: kv[1])
 
-    def one_iter(i, carry):
-        params, opt_state, n_alive, key, _ = carry
+    def _fwd_update(i, params, opt_state, n_alive):
+        """Shared per-iteration core: forward + gated grads + LinearLR Adam.
+        LinearLR 1.0 -> 0.1 over `iterations` (trainer.py:384); frozen at
+        constant attr lr after densify (see densify.py docstring)."""
 
         def loss_fn(p):
             return _forward(p, n_alive, state, targets, intr, dyn.weights,
@@ -363,9 +365,6 @@ def train_stage(params: Params, state: FrameState, targets, intr,
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = _gate_grads(grads, state, n_alive, cfg.camera_only)
-
-        # LinearLR 1.0 -> 0.1 over `iterations` (trainer.py:384); frozen at
-        # constant attr lr after densify (see densify.py docstring).
         factor = 1.0 - 0.9 * i.astype(jnp.float32) / cfg.iterations
         pd = opt_state.post_densify
         lr_attr = jnp.where(pd, dyn.lr, dyn.lr * factor)
@@ -374,7 +373,11 @@ def train_stage(params: Params, state: FrameState, targets, intr,
         params, opt_state = adam_update(
             params, grads, opt_state, lr_attr, lr_pose, lr_depth
         )
+        return params, opt_state, aux
 
+    def one_iter(i, carry):
+        params, opt_state, n_alive, key, _ = carry
+        params, opt_state, aux = _fwd_update(i, params, opt_state, n_alive)
         if lean:
             aux = {k: aux[k] for k in ("uv", "depth", "metrics")}
         return params, opt_state, n_alive, key, aux
@@ -385,21 +388,7 @@ def train_stage(params: Params, state: FrameState, targets, intr,
         event schedule; this path trades ~1.5 ms/iter for simplicity and is
         only used when save_videos collects training snapshots)."""
         params, opt_state, n_alive, key, _ = carry
-
-        def loss_fn(p):
-            return _forward(p, n_alive, state, targets, intr, dyn.weights,
-                            cfg, flow_prior=flow_prior)
-
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        grads = _gate_grads(grads, state, n_alive, cfg.camera_only)
-        factor = 1.0 - 0.9 * i.astype(jnp.float32) / cfg.iterations
-        pd = opt_state.post_densify
-        lr_attr = jnp.where(pd, dyn.lr, dyn.lr * factor)
-        lr_pose = jnp.where(pd, 0.0, dyn.lr_camera * factor)
-        lr_depth = jnp.where(pd, 0.0, dyn.lr * factor)
-        params, opt_state = adam_update(
-            params, grads, opt_state, lr_attr, lr_pose, lr_depth
-        )
+        params, opt_state, aux = _fwd_update(i, params, opt_state, n_alive)
 
         if events:
             key, k1 = jax.random.split(key)
