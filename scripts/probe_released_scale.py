@@ -145,17 +145,27 @@ def probe_alignment():
                        lr1=0.07, steps1=500, lr2=0.014, steps2=200)
     sec = time.perf_counter() - t0
 
-    # convergence: relative-pose translation error vs GT over the chain
-    errs = []
+    # convergence: relative-pose translation error vs GT over the chain.
+    # The DUSt3R-style alignment optimizes normalized (gauge-fixed) scale,
+    # so fit one global scale to the GT first — the reference's evo eval is
+    # scale-aligned the same way (depth_mast3r poses -> evo -s).
     est = res["poses_c2w"]
+    est_t, gt_t = [], []
     for i in range(n_frames - 1):
         gt_rel = np.linalg.inv(poses[i]) @ poses[i + 1]
         est_rel = np.linalg.inv(est[i]) @ est[i + 1]
-        errs.append(np.linalg.norm(gt_rel[:3, 3] - est_rel[:3, 3]))
+        gt_t.append(gt_rel[:3, 3])
+        est_t.append(est_rel[:3, 3])
+    est_t, gt_t = np.stack(est_t), np.stack(gt_t)
+    s = float(np.sum(est_t * gt_t) / max(np.sum(est_t * est_t), 1e-12))
+    errs = np.linalg.norm(s * est_t - gt_t, axis=1)
+    gt_norm = float(np.mean(np.linalg.norm(gt_t, axis=1)))
     return {
         "config": "200 frames, logwin-3 symmetric (%d edges), 2-stage "
                   "500+200 iters, n_sample 1024" % len(edge_preds),
         "sec_per_chunk": round(sec, 2),
+        "scale_fit": round(s, 4),
+        "gt_mean_step": round(gt_norm, 5),
         "mean_rel_trans_err": round(float(np.mean(errs)), 5),
         "p90_rel_trans_err": round(float(np.percentile(errs, 90)), 5),
     }

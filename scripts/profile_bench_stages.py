@@ -18,7 +18,7 @@ from gflow_tpu.ops.render import RenderConfig
 
 def main():
     W, H = 854, 480
-    N, CAP = 50_000, 65_536
+    N, CAP = 50_000, 51_200
     rng = np.random.default_rng(0)
     from scipy.ndimage import gaussian_filter
 
@@ -36,7 +36,7 @@ def main():
         image=jnp.asarray(img), depth=jnp.asarray(depth)[..., None],
         flow=jnp.zeros((H, W, 2)), move_mask=jnp.zeros((H, W), bool),
         occ_mask=jnp.zeros((H, W), bool))
-    rcfg = RenderConfig()
+    rcfg = RenderConfig.for_scene(W, H, N)
     weights = LossWeights.make(rgb=1.0, depth=0.1, var=50.0, flow=0.01)
     intr_j = jnp.asarray(intr)
     key = jax.random.PRNGKey(0)
