@@ -381,16 +381,26 @@ def test_transformer_layer_shifted_window_matches_torch(no_ffn):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
 
 
-def test_local_correlation_with_flow_matches_upstream_grid_sample():
+@pytest.mark.parametrize("flow_kind", ["small", "huge_oob", "integer"])
+def test_local_correlation_with_flow_matches_upstream_grid_sample(flow_kind):
     """Refinement correlation: upstream samples feature1 at
-    x + offset + flow(x) per tap via grid_sample (NOT warp-then-shift)."""
+    x + offset + flow(x) per tap via grid_sample (NOT warp-then-shift).
+    The TPU patch-gather formulation must stay exact for every padding
+    regime: small fractional flows, flows throwing whole windows far out
+    of bounds (the clipped-start fully-in-pad path), and exact-integer
+    flows (frac = 0 corner weights)."""
     from gflow_tpu.models.unimatch.gmflow import local_correlation_with_flow
 
     rng = np.random.default_rng(9)
     B, H, W, C, r = 2, 6, 7, 8, 2
     f0 = rng.normal(size=(B, H, W, C)).astype(np.float32)
     f1 = rng.normal(size=(B, H, W, C)).astype(np.float32)
-    flow = rng.normal(scale=1.5, size=(B, H, W, 2)).astype(np.float32)
+    if flow_kind == "small":
+        flow = rng.normal(scale=1.5, size=(B, H, W, 2)).astype(np.float32)
+    elif flow_kind == "huge_oob":
+        flow = rng.normal(scale=40.0, size=(B, H, W, 2)).astype(np.float32)
+    else:
+        flow = rng.integers(-4, 5, size=(B, H, W, 2)).astype(np.float32)
 
     got = np.asarray(local_correlation_with_flow(
         jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(flow), r))
