@@ -163,18 +163,22 @@ def render(
             # blended depth map — see eval/benchmark.eval_tracking)
             add("acc", jnp.ones_like(depth))
 
+        # per-channel background: the acc channel gets bg 0 so it reads
+        # sum(alpha_i * T_i) directly — un-mixing a scalar bg afterwards is
+        # ill-conditioned at bg=1 (white), where the bg term saturates the
+        # channel to exactly 1 and destroys the information
+        F_total = cursor
+        bg_vec = jnp.full((F_total,), jnp.asarray(bg, jnp.float32))
+        if "acc" in slices:
+            bg_vec = bg_vec.at[slices["acc"][0]].set(0.0)
         img = compose(
             bins.tile_lists, uv, conic, opacity, jnp.concatenate(feats, axis=1),
-            bg, W, H, n_tx, n_ty, tile_counts=bins.tile_counts,
+            bg_vec, W, H, n_tx, n_ty, tile_counts=bins.tile_counts,
         )
         for name, (s, e) in slices.items():
             out[name] = img[..., s:e]
         if "acc" in out:
-            # the compositor fills background into every channel:
-            # raw = (1 - T_final) + bg * T_final  =>  undo the bg term
-            bgf = jnp.asarray(bg, jnp.float32)
-            out["acc"] = jnp.clip(
-                (out["acc"] - bgf) / jnp.maximum(1.0 - bgf, 1e-6), 0.0, 1.0)
+            out["acc"] = jnp.clip(out["acc"], 0.0, 1.0)
 
     if need_center:
         # identity conic + opacity 1 point-cloud view (reference render.py:93-106)
