@@ -39,11 +39,34 @@ from gflow_tpu.opt.initialize import init_params_from_image
 from gflow_tpu.ops.render import RenderConfig
 
 
+def _require_backend(timeout_s: float = 180.0):
+    """Fail fast (one JSON error line + exit 1) instead of hanging forever
+    when the tunneled TPU backend is unreachable — device init blocks
+    indefinitely during tunnel outages."""
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if not got:
+        print(json.dumps({
+            "metric": "sec/frame fit (480p, 50k pts, 150 camera + 300 full"
+                      " iters, canonical densify occ+100x2)",
+            "value": None, "unit": "s/frame", "vs_baseline": None,
+            "error": f"device backend init timed out after {timeout_s:.0f}s"
+                     " (TPU tunnel unavailable)",
+        }))
+        raise SystemExit(1)
+
+
 def main():
     W, H = 854, 480
     N = 50_000
     CAP = 51_200
     iters_camera, iters_full = 150, 300
+    _require_backend()
 
     rng = np.random.default_rng(0)
     from scipy.ndimage import gaussian_filter
