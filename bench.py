@@ -39,26 +39,34 @@ from gflow_tpu.opt.initialize import init_params_from_image
 from gflow_tpu.ops.render import RenderConfig
 
 
-def _require_backend(timeout_s: float = 180.0):
+def _require_backend(timeout_s: float = 180.0, attempts: int = 3):
     """Fail fast (one JSON error line + exit 1) instead of hanging forever
     when the tunneled TPU backend is unreachable — device init blocks
-    indefinitely during tunnel outages."""
+    indefinitely during tunnel outages.  Transient outages are retried
+    (attempts x timeout_s) before giving up, since the round-3 bench run
+    was lost to a single unlucky 180 s window."""
     import threading
 
-    got = []
-    t = threading.Thread(target=lambda: got.append(jax.devices()),
-                         daemon=True)
-    t.start()
-    t.join(timeout=timeout_s)
-    if not got:
-        print(json.dumps({
-            "metric": "sec/frame fit (480p, 50k pts, 150 camera + 300 full"
-                      " iters, canonical densify occ+100x2)",
-            "value": None, "unit": "s/frame", "vs_baseline": None,
-            "error": f"device backend init timed out after {timeout_s:.0f}s"
-                     " (TPU tunnel unavailable)",
-        }))
-        raise SystemExit(1)
+    for attempt in range(attempts):
+        got = []
+        t = threading.Thread(target=lambda: got.append(jax.devices()),
+                             daemon=True)
+        t.start()
+        t.join(timeout=timeout_s)
+        if got:
+            return
+        if attempt < attempts - 1:
+            print(f"# device init attempt {attempt + 1}/{attempts} timed out"
+                  f" after {timeout_s:.0f}s; retrying", file=sys.stderr)
+            time.sleep(10.0)
+    print(json.dumps({
+        "metric": "sec/frame fit (480p, 50k pts, 150 camera + 300 full"
+                  " iters, canonical densify occ+100x2)",
+        "value": None, "unit": "s/frame", "vs_baseline": None,
+        "error": f"device backend init timed out {attempts}x after"
+                 f" {timeout_s:.0f}s each (TPU tunnel unavailable)",
+    }))
+    raise SystemExit(1)
 
 
 def main():

@@ -13,5 +13,7 @@ for scene_dir in "$ROOT"/*/; do
   echo "=== $scene ==="
   python -m gflow_tpu.cli.prep_depth   --img-dir "$seq"
   python -m gflow_tpu.cli.prep_flow    --img-dir "$seq"
-  python -m gflow_tpu.cli.prep_moveseg --img-dir "$seq" --threshold 0.01
+  # canonical threshold 0.5: the reference's move_seg.sh default overrides
+  # move_seg.py's 0.01 (reference scripts/move_seg.sh:7)
+  python -m gflow_tpu.cli.prep_moveseg --img-dir "$seq" --threshold 0.5
 done
