@@ -72,24 +72,29 @@ DEFAULT_CONFIG = RenderConfig()
 
 @functools.lru_cache(maxsize=64)
 def _compiled_render(bg: float, W: int, H: int, outputs: tuple,
-                     config: RenderConfig):
+                     config: RenderConfig, as_uint8: bool):
     return jax.jit(functools.partial(render, bg=bg, W=W, H=H,
-                                     outputs=outputs, config=config))
+                                     outputs=outputs, config=config,
+                                     as_uint8=as_uint8))
 
 
 def render_jit(xyz, scale, rotate, opacity, rgb, intr, extr, bg, W, H,
                outputs=("rgb", "uv", "depth", "depth_map", "depth_map_color",
                         "center"),
-               config: RenderConfig = DEFAULT_CONFIG):
+               config: RenderConfig = DEFAULT_CONFIG, as_uint8: bool = False):
     """Jit-cached render for HOST callers (diagnostic/eval/viewer paths).
 
     Plain render() executes eagerly — fine while tracing inside a larger
     jit, but from host code every op dispatches individually through the
     device tunnel (measured ~17 s per diagnostic still/move render pair at
-    480p vs milliseconds compiled). Cache key: the static call shape."""
+    480p vs milliseconds compiled). Cache key: the static call shape.
+
+    as_uint8 quantizes image-type outputs inside the compiled graph — one
+    dispatch total, versus render2img's eager clip/mul/cast chain per image
+    (3 tunnel round-trips each on this rig)."""
     return _compiled_render(float(bg), int(W), int(H), tuple(outputs),
-                            config)(xyz, scale, rotate, opacity, rgb,
-                                    intr, extr)
+                            config, bool(as_uint8))(
+                                xyz, scale, rotate, opacity, rgb, intr, extr)
 
 
 def render(
@@ -105,10 +110,13 @@ def render(
     H: int,
     outputs: Sequence[str] = ("rgb", "uv", "depth", "depth_map", "depth_map_color", "center"),
     config: RenderConfig = DEFAULT_CONFIG,
+    as_uint8: bool = False,
 ):
     """All array inputs are *activated* values. Returns a dict of requested
     outputs: rgb/depth_map/depth_map_color/center are (H, W, C); uv is (N, 2);
-    depth is (N, 1) with 0 == culled."""
+    depth is (N, 1) with 0 == culled. as_uint8 (static) quantizes the
+    image-type outputs (rgb/depth_map_color/center/acc — not uv/depth/
+    depth_map, which are data) to uint8 on device."""
     proj = project_gaussians(
         xyz, scale, rotate, intr, extr, W, H,
         max_radius=supported_max_radius(config.max_tiles_per_gaussian),
@@ -181,16 +189,25 @@ def render(
             out["acc"] = jnp.clip(out["acc"], 0.0, 1.0)
 
     if need_center:
-        # identity conic + opacity 1 point-cloud view (reference render.py:93-106)
+        # identity conic + opacity 1 point-cloud view (reference render.py:93-106).
+        # Opacity-masked points (dead capacity slots; still/move subset
+        # renders, which mask via opacity where the reference slices the
+        # arrays) must stay invisible here too — the reference's opacity-1
+        # override only ever sees points that exist in its sliced tensors.
         center_conic = jnp.broadcast_to(
             jnp.asarray([1.0, 0.0, 1.0], jnp.float32), conic.shape
         )
-        center_op = jnp.where(depth > 0, 1.0, 0.0)
+        center_op = jnp.where((depth > 0) & (opacity > 0), 1.0, 0.0)
         out["center"] = compose(
             bins.tile_lists, uv, center_conic, center_op, rgb,
             bg, W, H, n_tx, n_ty, tile_counts=bins.tile_counts,
         )
 
+    if as_uint8:
+        for name in ("rgb", "depth_map_color", "center", "acc"):
+            if name in out:
+                out[name] = (jnp.clip(out[name], 0.0, 1.0) * 255).astype(
+                    jnp.uint8)
     return out
 
 
@@ -243,25 +260,29 @@ def render_traj(
 
 @functools.lru_cache(maxsize=32)
 def _compiled_render_traj(bg, W, H, point_num, line_scale, point_scale,
-                          config):
+                          config, as_uint8):
     def go(xyz, scale, rotate, opacity, rgb, intr, extr, n_actual):
-        return render_traj(xyz, scale, rotate, opacity, rgb, intr, extr,
-                           bg, W, H, point_num, line_scale, point_scale,
-                           config, n_actual)
+        img = render_traj(xyz, scale, rotate, opacity, rgb, intr, extr,
+                          bg, W, H, point_num, line_scale, point_scale,
+                          config, n_actual)
+        if as_uint8:
+            img = (jnp.clip(img, 0.0, 1.0) * 255).astype(jnp.uint8)
+        return img
 
     return jax.jit(go)
 
 
 def render_traj_jit(xyz, scale, rotate, opacity, rgb, intr, extr, bg, W, H,
                     point_num, line_scale=1.0, point_scale=2.0,
-                    config: RenderConfig = DEFAULT_CONFIG, n_actual=None):
+                    config: RenderConfig = DEFAULT_CONFIG, n_actual=None,
+                    as_uint8: bool = False):
     """Jit-cached render_traj for host callers (see render_jit). n_actual is
     a traced scalar so per-frame point counts reuse one compile."""
     if n_actual is None:
         n_actual = xyz.shape[0]
     return _compiled_render_traj(
         float(bg), int(W), int(H), int(point_num), float(line_scale),
-        float(point_scale), config,
+        float(point_scale), config, bool(as_uint8),
     )(xyz, scale, rotate, opacity, rgb, intr, extr,
       jnp.asarray(n_actual, jnp.int32))
 

@@ -242,6 +242,13 @@ def main(
                          occulasions=occl[:, :, -len(closest_move):],
                          filename="sequence_traj_vis_move")
 
+    # drain the background writer before declaring the run done — readers
+    # (benchmark, tests) expect every submitted PNG/video on disk
+    with telemetry.phase("host/io_flush"):
+        from ..utils.bgwriter import flush_writes
+
+        flush_writes()
+
     telemetry.gauge("tile_overflow_last",
                     getattr(trainer, "last_tile_overflow", None))
     telemetry.gauge("t_final_overflow_last",

@@ -57,6 +57,51 @@ def _compiled_stage(cfg: StageConfig):
     return jax.jit(functools.partial(train_stage, cfg=cfg))
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_diag(bg: float, W: int, H: int, config: RenderConfig):
+    """ONE fused, jit-cached dispatch for all post-stage diagnostic renders
+    (reference trainer.py:627-697): full-scene rgb/center/depth_map_color
+    plus the still-only and move-only subset views, activation included,
+    quantized to uint8 on device.
+
+    Replaces three separate render_jit dispatches plus eager activation and
+    quantize op chains per saved stage — each eager op is a tunnel
+    round-trip on this rig (QUALITY_r03: host/diag_renders 22.5 s +
+    host/save_images 25.6 s over 9 calls, mostly dispatch latency). The
+    projection/binning subgraphs of the three renders are identical, so XLA
+    CSE shares them. Subset selection masks opacity exactly like the
+    reference's array slicing selects rows (still i < last_num with
+    still_mask; moving i < last_num without)."""
+    from ..core.scene import activate
+    from ..ops.render import render
+
+    def go(params, state, intr):
+        C = params.xyz.shape[0]
+        alive = (jnp.arange(C) < state.n_alive)[:, None]
+        scale = jnp.abs(params.scale)
+        rotate = activate("rotate", params.rotate)
+        opacity = activate("opacity", params.opacity) * alive
+        rgb = activate("rgb", params.rgb)
+        extr = pose_to_extr(params.pose)
+
+        full = render(params.xyz, scale, rotate, opacity, rgb, intr, extr,
+                      bg, W, H, ("rgb", "center", "depth_map_color"), config,
+                      as_uint8=True)
+        out = {"rgb": full["rgb"], "center": full["center"],
+               "depth_map_color": full["depth_map_color"]}
+        in_prev = jnp.arange(C) < state.last_num
+        for name, sel in (("still", in_prev & state.still_mask),
+                          ("move", in_prev & ~state.still_mask)):
+            sub = render(params.xyz, scale, rotate, opacity * sel[:, None],
+                         rgb, intr, extr, bg, W, H, ("rgb", "center"),
+                         config, as_uint8=True)
+            out[name + "_rgb"] = sub["rgb"]
+            out[name + "_center"] = sub["center"]
+        return out
+
+    return jax.jit(go)
+
+
 def _erode(mask_u8: np.ndarray, size: int = 20) -> np.ndarray:
     from scipy.ndimage import binary_erosion
 
@@ -374,24 +419,36 @@ class GFlowTrainer:
 
         # ---- diagnostic renders + still/move decomposition (trainer.py:627-697)
         out["last_rgb"] = render2img(info["rgb"])
-        # subset renders are needed by BOTH the saved images and the returned
-        # still/move frames — render once, share (was 2x the device work)
+        # ONE fused device dispatch renders the full views AND the still/move
+        # subsets; uint8 leaves the chip (see _compiled_diag)
         subsets = None
-        if int(self.state.last_num) > 0:
+        views = None
+        if (save_imgs and self.dir) or int(self.state.last_num) > 0:
             with phase("host/diag_renders"):
-                subsets = (self._render_subset(still=True),
-                           self._render_subset(still=False))
+                d = _compiled_diag(self.bg, self.W, self.H,
+                                   self.render_config)(
+                    self.params, self.state, self.intr)
+                views = {k: np.asarray(v) for k, v in d.items()}
+            if int(self.state.last_num) > 0:
+                subsets = ((views["still_rgb"], views["still_center"]),
+                           (views["move_rgb"], views["move_center"]))
         if save_imgs and self.dir:
             with phase("host/save_images"):
-                self._save_stage_images(info, ckpt_name, out, subsets=subsets)
+                self._save_stage_images(views, ckpt_name, subsets=subsets)
         if save_videos and self.dir and out["frames"]:
             from ..viz.video import save_video
+            from ..utils.bgwriter import get_writer
 
             with phase("host/video_mux"):
+                # PNG/video encoding happens on the background writer thread
+                # (one CPU core here — encoding on the critical path blocked
+                # the next frame's device dispatch)
+                w = get_writer()
                 for nm, fr in [("training_rgb", out["frames"]),
                                ("training_center", out["frames_center"]),
                                ("training_depth", out["frames_depth"])]:
-                    save_video(os.path.join(self.dir, f"{nm}.mp4"), fr, 30)
+                    w.submit(save_video,
+                             os.path.join(self.dir, f"{nm}.mp4"), fr, 30)
         if save_ckpt:
             with phase("host/checkpoint"):
                 self.save_checkpoint(ckpt_name=ckpt_name)
@@ -418,59 +475,50 @@ class GFlowTrainer:
             activate("rgb", self.params.rgb),
         )
 
-    def render_views(self, outputs=("rgb", "center", "depth_map_color")):
+    def render_views(self, outputs=("rgb", "center", "depth_map_color"),
+                     as_uint8=False):
         xyz, scale, rotate, opacity, rgb = self._activated()
         return render_jit(
             xyz, scale, rotate, opacity, rgb, self.intr, self.get_extr(),
             self.bg, self.W, self.H, outputs, self.render_config,
+            as_uint8=as_uint8,
         )
 
-    def _render_subset(self, still: bool):
-        """Render only still or only moving points (opacity-masked; identical
-        compositing result to subsetting — see opt/train.py notes)."""
-        xyz, scale, rotate, opacity, rgb = self._activated()
-        n_prev = int(self.state.last_num)
-        sel = np.zeros(self.capacity, bool)
-        sm = np.asarray(self.state.still_mask)
-        sel[:n_prev] = sm[:n_prev] if still else ~sm[:n_prev]
-        opacity = opacity * jnp.asarray(sel)[:, None]
-        outs = render_jit(
-            xyz, scale, rotate, opacity, rgb, self.intr, self.get_extr(),
-            self.bg, self.W, self.H, ("rgb", "center"), self.render_config,
-        )
-        return render2img(outs["rgb"]), render2img(outs["center"])
-
-    def _save_stage_images(self, info, ckpt_name, out, subsets=None):
+    def _save_stage_images(self, views, ckpt_name, subsets=None):
+        """Queue the stage's diagnostic PNGs on the background writer —
+        pixels come pre-rendered (one _compiled_diag dispatch, uint8 host
+        arrays), so this costs one enqueue per file."""
         import imageio.v2 as imageio
 
+        from ..utils.bgwriter import get_writer
+
+        w = get_writer()
         img_dir = os.path.join(self.dir, "images")
         os.makedirs(img_dir, exist_ok=True)
-        views = self.render_views(("rgb", "center", "depth_map_color"))
-        imageio.imwrite(os.path.join(img_dir, f"img_{ckpt_name}.png"),
-                        render2img(views["rgb"]))
-        imageio.imwrite(os.path.join(img_dir, f"img_center_{ckpt_name}.png"),
-                        render2img(views["center"]))
-        imageio.imwrite(os.path.join(img_dir, f"img_depth_{ckpt_name}.png"),
-                        render2img(views["depth_map_color"]))
+        w.submit(imageio.imwrite,
+                 os.path.join(img_dir, f"img_{ckpt_name}.png"), views["rgb"])
+        w.submit(imageio.imwrite,
+                 os.path.join(img_dir, f"img_center_{ckpt_name}.png"),
+                 views["center"])
+        w.submit(imageio.imwrite,
+                 os.path.join(img_dir, f"img_depth_{ckpt_name}.png"),
+                 views["depth_map_color"])
         if subsets is not None:
             (srgb, scen), (mrgb, mcen) = subsets
-            imageio.imwrite(os.path.join(img_dir, f"img_still_{ckpt_name}.png"), srgb)
-            imageio.imwrite(os.path.join(img_dir, f"img_still_center_{ckpt_name}.png"), scen)
-            imageio.imwrite(os.path.join(img_dir, f"img_move_{ckpt_name}.png"), mrgb)
-            imageio.imwrite(os.path.join(img_dir, f"img_move_center_{ckpt_name}.png"), mcen)
+            for nm, arr in (("still", srgb), ("still_center", scen),
+                            ("move", mrgb), ("move_center", mcen)):
+                w.submit(imageio.imwrite,
+                         os.path.join(img_dir, f"img_{nm}_{ckpt_name}.png"),
+                         arr)
         seg_dir = os.path.join(self.dir, "images_seg")
-        if self.move_seg is not None:
-            os.makedirs(seg_dir, exist_ok=True)
-            imageio.imwrite(os.path.join(seg_dir, f"move_mask_{ckpt_name}.png"),
-                            self.move_seg)
-        if self.move_seg_erode is not None:
-            os.makedirs(seg_dir, exist_ok=True)
-            imageio.imwrite(os.path.join(seg_dir, f"move_mask_erode_{ckpt_name}.png"),
-                            self.move_seg_erode)
-        if self.propagate_seg is not None:
-            os.makedirs(seg_dir, exist_ok=True)
-            imageio.imwrite(os.path.join(seg_dir, f"propagate_mask_{ckpt_name}.png"),
-                            self.propagate_seg)
+        for nm, arr in (("move_mask", self.move_seg),
+                        ("move_mask_erode", self.move_seg_erode),
+                        ("propagate_mask", self.propagate_seg)):
+            if arr is not None:
+                os.makedirs(seg_dir, exist_ok=True)
+                w.submit(imageio.imwrite,
+                         os.path.join(seg_dir, f"{nm}_{ckpt_name}.png"),
+                         arr.copy())
 
     def project_points(self, points):
         from ..core.camera import world2pix
@@ -646,7 +694,9 @@ class GFlowTrainer:
             t["rgb"] = np.concatenate([t["rgb"], line_rgb])
             t["last_xyz"] = xyz_now.copy()
 
-        views = self.render_views(("rgb", "center", "depth_map_color"))
+        # uint8 leaves the device; render2img passes it through untouched
+        views = self.render_views(("rgb", "center", "depth_map_color"),
+                                  as_uint8=True)
         out_img = render2img(views["rgb"])
         out_center = render2img(views["center"])
         out_depth = render2img(views["depth_map_color"])
@@ -671,7 +721,7 @@ class GFlowTrainer:
             jnp.asarray(rgb_p),
             self.intr, self.get_extr(), self.bg, self.W, self.H,
             point_num=num_traj, line_scale=line_scale, point_scale=point_scale,
-            config=self.render_config, n_actual=nt,
+            config=self.render_config, n_actual=nt, as_uint8=True,
         )
         out_traj = render2img(traj_img)
         # screen blending (trainer.py:798-806)

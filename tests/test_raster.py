@@ -110,6 +110,29 @@ def test_multi_output_render():
     assert float(jnp.max(out["depth_map"])) > 0.5
 
 
+def test_center_respects_opacity_mask():
+    """The center view's opacity-1 override must NOT resurrect points masked
+    out via opacity — the reference only sees points present in its sliced
+    tensors (still/move subset renders mask via opacity here; dead capacity
+    slots likewise)."""
+    W, H = 64, 48
+    xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(seed=5, W=W, H=H)
+    full = render(xyz, scale, rotate, opacity, rgb, intr, extr, 0.0, W, H,
+                  ("center",))["center"]
+    assert float(jnp.max(full)) > 0.0
+    masked = render(xyz, scale, rotate, jnp.zeros_like(opacity), rgb, intr,
+                    extr, 0.0, W, H, ("center",))["center"]
+    np.testing.assert_allclose(np.asarray(masked), 0.0, atol=1e-6)
+    # uint8 quantization path returns the same pixels
+    u8 = render(xyz, scale, rotate, opacity, rgb, intr, extr, 0.0, W, H,
+                ("center",), as_uint8=True)["center"]
+    assert u8.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(u8),
+        (np.clip(np.asarray(full), 0, 1) * 255).astype(np.uint8),
+    )
+
+
 def test_tiled_gradients_match_dense():
     """Autodiff through the tiled path == autodiff through the dense oracle."""
     W, H = 32, 32
