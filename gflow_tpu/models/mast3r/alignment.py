@@ -162,6 +162,7 @@ def global_align(
     lr2: float = 0.014,
     steps2: int = 200,
     seed: int = 0,
+    collect_timings: bool = False,
 ):
     """edge_preds: {(i, j): (out_i, out_j)} where out_i/out_j are the
     two-view model outputs for the pair (pts3d (H,W,3) + conf (H,W,1);
@@ -169,7 +170,17 @@ def global_align(
     in frame i's coordinates).
 
     Returns dict with poses_c2w (T,4,4), depths (T,H,W), focal, pp.
+
+    collect_timings adds a "timings" entry splitting the chunk's wall-clock
+    into host pair-graph assembly vs jitted-refinement stages, plus a
+    steady-state re-run of stage 1 on perturbed inputs (same compiled shape,
+    different data — the axon tunnel memoizes identical calls) so
+    compile cost is separable: compile ~= stage1_sec - stage1_rerun_sec.
     """
+    import time as _time
+
+    _t_start = _time.perf_counter()
+    timings = {}
     rng = np.random.default_rng(seed)
     H, W = image_hw
     pairs = sorted(edge_preds.keys())
@@ -256,13 +267,34 @@ def global_align(
     scene_norm = float(np.median(np.linalg.norm(dst, axis=-1)))
     t_scale = max(float(np.median(base)), 0.02 * scene_norm, 1e-6)
 
+    if collect_timings:
+        timings["host_assembly_sec"] = round(
+            _time.perf_counter() - _t_start, 2)
+    pp0, ls0 = pose_params, log_scales  # kept for the timing re-run
+    stage_secs = []
     for lr, steps in ((lr1, steps1), (lr2, steps2)):
+        _t0 = _time.perf_counter()
         pose_params, log_scales, final_loss = _refine(
             pose_params, log_scales, jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(cw),
             jnp.asarray(lr, jnp.float32),
             jnp.asarray(t_scale, jnp.float32), steps,
         )
+        if collect_timings:
+            jax.block_until_ready(pose_params)
+            stage_secs.append(round(_time.perf_counter() - _t0, 2))
+    if collect_timings:
+        # steady-state stage-1 re-run: same compiled shapes, perturbed data
+        _t0 = _time.perf_counter()
+        r = _refine(pp0 + 1e-4, ls0, jnp.asarray(ei), jnp.asarray(ej),
+                    jnp.asarray(src), jnp.asarray(dst), jnp.asarray(cw),
+                    jnp.asarray(lr1, jnp.float32),
+                    jnp.asarray(t_scale, jnp.float32), steps1)
+        jax.block_until_ready(r[0])
+        rerun = _time.perf_counter() - _t0
+        timings["refine_stage_secs"] = stage_secs
+        timings["stage1_steady_rerun_sec"] = round(rerun, 2)
+        timings["stage1_compile_est_sec"] = round(stage_secs[0] - rerun, 2)
 
     # --- outputs ---
     pose_params = np.asarray(pose_params)
@@ -283,10 +315,13 @@ def global_align(
     )
     pp = (W / 2.0, H / 2.0)
     focals = [estimate_focal(canon[f], pp) for f in range(n_frames)]
-    return {
+    out = {
         "poses_c2w": poses_c2w,
         "depths": depths.astype(np.float32),
         "focal": float(np.median(focals)),
         "pp": pp,
         "final_loss": float(final_loss),
     }
+    if collect_timings:
+        out["timings"] = timings
+    return out

@@ -36,8 +36,18 @@ def composite_tiles(
     n_tx: int,
     n_ty: int,
     tile_chunk: int = 64,
+    shard_axes: tuple | None = None,
 ) -> jax.Array:
-    """Returns the composited image (H, W, F)."""
+    """Returns the composited image (H, W, F).
+
+    shard_axes (static): mesh axis name(s) to shard the tile dimension over
+    — the multi-chip mode (SURVEY 2.3(i): per-tile compositing is
+    embarrassingly parallel; the backward's per-Gaussian gradient
+    scatter-add becomes an XLA all-reduce over ICI). Requires an ambient
+    mesh (jax.set_mesh). The sharded path skips lax.map chunking — a scan
+    serializes under GSPMD; sharding the tile axis already bounds the
+    per-device (T/D, K, P) alpha tensor — and is otherwise the SAME code
+    as the single-chip chunked path (one shared do_tiles body)."""
     T, K = tile_lists.shape
     F = features.shape[1]
     bg = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (F,))
@@ -61,19 +71,6 @@ def composite_tiles(
     offy = off // TILE
     px = tx0[:, None].astype(jnp.float32) + offx[None, :]  # (T, P)
     py = ty0[:, None].astype(jnp.float32) + offy[None, :]
-
-    n_chunks = -(-T // tile_chunk)
-    pad = n_chunks * tile_chunk - T
-
-    def pad0(x):
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-
-    def reshape_chunks(x):
-        return pad0(x).reshape((n_chunks, tile_chunk) + x.shape[1:])
-
-    chunks = jax.tree.map(
-        reshape_chunks, (g_uv, g_conic, g_op, g_feat, px, py)
-    )
 
     def do_chunk(args):
         c_uv, c_conic, c_op, c_feat, c_px, c_py = args  # (C, K, ...), (C, P)
@@ -100,8 +97,29 @@ def composite_tiles(
         out = out + trans[:, -1][:, :, None] * bg[None, None, :]
         return out
 
-    out_chunks = jax.lax.map(do_chunk, chunks)  # (n_chunks, chunk, P, F)
-    out = out_chunks.reshape(n_chunks * tile_chunk, P, F)[:T]
+    if shard_axes is not None:
+        from jax.sharding import PartitionSpec
+
+        def constrain(x):
+            spec = PartitionSpec(shard_axes, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(x, spec)
+
+        out = do_chunk(jax.tree.map(
+            constrain, (g_uv, g_conic, g_op, g_feat, px, py)
+        ))  # (T, P, F), tile axis sharded
+    else:
+        n_chunks = -(-T // tile_chunk)
+        pad = n_chunks * tile_chunk - T
+
+        def reshape_chunks(x):
+            padded = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+            return padded.reshape((n_chunks, tile_chunk) + x.shape[1:])
+
+        chunks = jax.tree.map(
+            reshape_chunks, (g_uv, g_conic, g_op, g_feat, px, py)
+        )
+        out_chunks = jax.lax.map(do_chunk, chunks)  # (n_chunks, chunk, P, F)
+        out = out_chunks.reshape(n_chunks * tile_chunk, P, F)[:T]
     # (T, P, F) -> (n_ty, n_tx, TILE, TILE, F) -> (H_pad, W_pad, F) -> crop
     img = (
         out.reshape(n_ty, n_tx, TILE, TILE, F)

@@ -38,6 +38,12 @@ class RenderConfig:
     tile_chunk: int = 64
     center_scale: float = 10.0  # matches render_multiple's default (render.py:8)
     backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # Multi-chip: mesh axis name(s) the compositor's tile dimension is
+    # sharded over (requires an ambient jax.set_mesh; see
+    # parallel/multichip.py). Forces the XLA compositor — the Pallas kernel
+    # is single-chip; GSPMD partitions the XLA path and inserts the ICI
+    # collectives (gradient all-reduce over per-Gaussian attributes).
+    tile_shard_axes: tuple | None = None
 
     @classmethod
     def for_scene(cls, W: int, H: int, num_points: int) -> "RenderConfig":
@@ -60,14 +66,31 @@ class RenderConfig:
 
         spacing = math.sqrt(W * H / max(num_points, 1))
         need = 2.5 * spacing
+        shard = ambient_tile_axes()
         for m in (8, 12, 16):
             if supported_max_radius(m) >= need:
                 return cls(max_per_tile=96 if m == 8 else 128,
-                           max_tiles_per_gaussian=m)
-        return cls(max_per_tile=128, max_tiles_per_gaussian=32)
+                           max_tiles_per_gaussian=m, tile_shard_axes=shard)
+        return cls(max_per_tile=128, max_tiles_per_gaussian=32,
+                   tile_shard_axes=shard)
 
 
 DEFAULT_CONFIG = RenderConfig()
+
+
+def ambient_tile_axes() -> tuple | None:
+    """Mesh axes to shard the compositor's tile dimension over, inferred
+    from the ambient `jax.set_mesh` mesh: any axis named "tile" plus a
+    leading "data" axis if present (a ('data', 'tile') mesh flattens onto
+    the tile dimension of a single-frame fit). None outside a mesh context
+    — the single-chip default. This is how the whole pipeline (trainer,
+    fit_video, diagnostics) turns multi-chip: wrap the run in
+    `jax.set_mesh(parallel.mesh.fitting_mesh(n))` and every
+    RenderConfig.for_scene-configured stage shards its rasterizer."""
+    m = jax.sharding.get_abstract_mesh()
+    if m is None or m.empty or "tile" not in m.axis_names:
+        return None
+    return tuple(ax for ax in m.axis_names if ax in ("data", "tile"))
 
 
 @functools.lru_cache(maxsize=64)
@@ -288,6 +311,8 @@ def render_traj_jit(xyz, scale, rotate, opacity, rgb, intr, extr, bg, W, H,
 
 
 def resolve_backend(config: RenderConfig) -> str:
+    if config.tile_shard_axes is not None:
+        return "xla"  # the sharded tile axis partitions the XLA compositor
     if config.backend != "auto":
         return config.backend
     return "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -312,9 +337,13 @@ def _get_compositor(config: RenderConfig):
         return composite_tiles(
             tile_lists, uv, conic, opacity, features, bg, W, H, n_tx, n_ty,
             tile_chunk=config.tile_chunk,
+            shard_axes=config.tile_shard_axes,
         )
 
     return compose
+
+
+_quantize_u8 = jax.jit(lambda x: (jnp.clip(x, 0.0, 1.0) * 255).astype(jnp.uint8))
 
 
 def render2img(rendered: jax.Array):
@@ -322,10 +351,12 @@ def render2img(rendered: jax.Array):
 
     Quantizes ON DEVICE before the host transfer: full-res f32 maps are 4x
     the bytes of the uint8 image actually consumed, and device->host
-    bandwidth is the bottleneck of the per-frame diagnostic/render IO."""
+    bandwidth is the bottleneck of the per-frame diagnostic/render IO.
+    Quantization runs under jit (not eagerly): in the multi-chip fitting
+    mode stage outputs arrive with GSPMD-committed shardings that eager ops
+    cannot re-map onto the ambient mesh; jit inserts the resharding."""
     import numpy as np
 
     if getattr(rendered, "dtype", None) == jnp.uint8:
         return np.asarray(rendered)
-    q = (jnp.clip(rendered, 0.0, 1.0) * 255).astype(jnp.uint8)
-    return np.asarray(q)
+    return np.asarray(_quantize_u8(rendered))

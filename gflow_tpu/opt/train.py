@@ -531,4 +531,17 @@ def train_stage(params: Params, state: FrameState, targets, intr,
             info[k] = aux[k]
     if snapshots is not None:
         info["snapshots"] = snapshots
+    if cfg.render.tile_shard_axes is not None:
+        # Multi-chip mode: pin every output to replicated. Left to GSPMD,
+        # stage outputs get committed shardings (e.g. a 4x2 device grid over
+        # an image) that cannot be re-expressed on the ambient 1D mesh when
+        # the arrays re-enter the next jitted call (parse_flatten_op_sharding
+        # rejects split mesh axes). One all-gather per stage, amortized over
+        # the iterations.
+        from jax.sharding import PartitionSpec
+
+        params, state, info = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, PartitionSpec()),
+            (params, state, info),
+        )
     return params, state, info

@@ -39,6 +39,21 @@ def make_mesh(n_devices: int | None = None, data_parallel: int | None = None,
     return Mesh(arr, ("data", "tile"))
 
 
+def fitting_mesh(n_devices: int | None = None, platform: str | None = None
+                 ) -> Mesh:
+    """1D ("tile",) mesh for the multi-chip *fitting* mode: wrap a fit in
+    `jax.set_mesh(fitting_mesh(n))` and every RenderConfig.for_scene stage
+    shards its rasterizer's tile axis across the chips (see
+    ops/render.ambient_tile_axes). The per-Gaussian attribute arrays stay
+    replicated (50k points is small); the per-tile compositing — the
+    dominant compute — splits T/n per chip, and GSPMD turns the backward's
+    gradient scatter-add into an all-reduce over ICI."""
+    devs = jax.devices(platform) if platform else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("tile",))
+
+
 def sharded_batch_apply(fn, mesh: Mesh, axis: str = "data"):
     """Wrap a batched pure function (params, *batched_args) -> batched_out
     so the batch axis is sharded across `axis` of the mesh and params are

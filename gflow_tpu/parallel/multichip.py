@@ -1,21 +1,28 @@
-"""Multi-chip training step: frame-batch data parallelism x tile-space
-parallelism on one ('data', 'tile') mesh.
+"""Multi-chip training (scaling-book style — annotate shardings, let GSPMD
+place collectives; SURVEY 2.3):
 
-Design (scaling-book style — annotate shardings, let GSPMD place
-collectives):
+THE PRODUCT MODE — tile-sharded single-sequence fitting (`dryrun_stage`
+here; `fit_video --shard-devices N` end to end): the unmodified
+opt.train.train_stage runs under an ambient `jax.set_mesh` mesh and the
+rasterizer's tile axis is sharded across all chips inside the SAME
+ops/composite.composite_tiles code the single-chip XLA path uses
+(shard_axes param; wired through RenderConfig.tile_shard_axes and the
+ambient-mesh hook ops/render.ambient_tile_axes). Forward compositing is
+embarrassingly parallel over tiles; the backward's per-Gaussian gradient
+scatter-add becomes an XLA all-reduce over ICI. No separate multi-chip
+compositor, no divergent numerics: the full stage loop — densify events,
+finalize, diagnostics — is one GSPMD-partitioned program.
 
-- A batch of B frames is fitted simultaneously (each frame an independent
-  optimization — the reference's only scale axis is the per-sequence bash
-  loop, SURVEY 2.3). Params/targets are sharded on axis "data".
-- Inside each frame, the rasterizer's per-tile work — the dominant compute —
-  is flattened to one (B*T) tile axis sharded across the WHOLE mesh
-  (PartitionSpec(('data','tile'))). Forward compositing is embarrassingly
-  parallel over tiles; the backward pass's scatter-add of per-tile Gaussian
-  gradients becomes an XLA reduce-scatter/all-reduce over ICI.
-
-The composite here is the same math as ops/composite.py but fully vectorized
-(no lax.map chunking — a scan would serialize under GSPMD; sharding the tile
-axis already bounds per-device memory to B*T/D * K * P).
+ALSO HERE — a batched B-frames harness (`sharded_train_step`/`dryrun_step`):
+B independent frame fits sharded on axis "data" with the flattened (B*T)
+tile axis over the whole mesh. This is scale-out *evidence* machinery (the
+full-scale memory artifact MULTICHIP_FULLSCALE.json; the 8==1 invariance
+test), not a user-facing fitting mode — GFlow's per-sequence fits are
+temporally sequential, so the product-level batch axis is scenes
+(parallel/scene_sweep.py), not frames. Its compositor is the same math as
+ops/composite.py but fully vectorized (no lax.map chunking — a scan would
+serialize under GSPMD; sharding the tile axis already bounds per-device
+memory to B*T/D * K * P).
 """
 from __future__ import annotations
 
@@ -166,6 +173,69 @@ def _flat_tile_constraint(mesh: Mesh):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
     return constrain
+
+
+def dryrun_stage(mesh: Mesh, iterations: int = 12, W: int = 64, H: int = 48,
+                 capacity: int = 512, seed: int = 0):
+    """The PRODUCT multi-chip fitting mode, dryrun-sized: run the full
+    single-frame `opt.train.train_stage` (iterations + occ/err densify
+    events + finalize) under `jax.set_mesh(mesh)` with the rasterizer's
+    tile axis sharded over the whole mesh (P(('data','tile')) — see
+    ops/composite.composite_tiles shard_axes). This is the SAME compiled
+    code path `fit_video --shard-devices N` runs; no separate multi-chip
+    compositor. Returns (final total loss, n_alive)."""
+    import numpy as np
+
+    from ..opt.losses import LossWeights
+    from ..opt.state import Targets, init_frame_state
+    from ..opt.train import train_stage
+    from ..ops.render import RenderConfig, ambient_tile_axes
+
+    rng = np.random.default_rng(seed)
+    params = Params(
+        xyz=jnp.asarray(np.c_[rng.uniform(-1, 1, (capacity, 2)),
+                              rng.uniform(1.5, 4.0, (capacity, 1))],
+                        jnp.float32),
+        scale=jnp.asarray(rng.uniform(0.01, 0.05, (capacity, 3)), jnp.float32),
+        rotate=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (capacity, 1)),
+        opacity=jnp.full((capacity, 1), 0.3),
+        rgb=jnp.asarray(rng.normal(0, 1, (capacity, 3)), jnp.float32),
+        pose=jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32),
+        depth_ab=jnp.asarray([1.0, 0.0]),
+    )
+    state = init_frame_state(capacity)._replace(
+        n_alive=jnp.asarray(capacity - 64, jnp.int32))
+    targets = Targets(
+        image=jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32),
+        depth=jnp.full((H, W, 1), 2.0),
+        flow=jnp.zeros((H, W, 2)),
+        move_mask=jnp.zeros((H, W), bool),
+        occ_mask=jnp.asarray(rng.random((H, W)) < 0.1),
+    )
+    dyn = StageDynamics.make(lr=1e-2, lr_camera=1e-3,
+                             weights=LossWeights.make(rgb=1.0, depth=0.1),
+                             num_points=capacity // 2,
+                             densify_occ_percent=0.5)
+    with jax.set_mesh(mesh):
+        axes = ambient_tile_axes()
+        assert axes, "mesh must have a 'tile' axis"
+        cfg = StageConfig(
+            W=W, H=H, iterations=iterations, densify_occ=True,
+            densify_interval=max(2, iterations // 2), densify_times=1,
+            max_densify=64,
+            render=RenderConfig(max_per_tile=64, tile_shard_axes=axes),
+        )
+        fn = jax.jit(functools.partial(train_stage, cfg=cfg))
+        p2, s2, info = fn(params, state, targets, intr=jnp.asarray(
+            [60.0, 60.0, W / 2, H / 2]), key=jax.random.PRNGKey(0), dyn=dyn)
+        jax.block_until_ready(p2.xyz)
+    import math
+
+    total = float(info["metrics"]["total"])
+    assert math.isfinite(total), "sharded stage produced non-finite loss"
+    n_alive = int(s2.n_alive)
+    assert n_alive > capacity - 64, "densify did not run in the sharded stage"
+    return total, n_alive
 
 
 def dryrun_step(mesh: Mesh, B: int = None, W: int = 64, H: int = 48,

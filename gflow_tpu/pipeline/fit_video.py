@@ -63,7 +63,20 @@ def main(
     densify_err_thre: float = 1e-2,
     densify_err_percent: float = 1.0,
     seed: int = 0,
+    shard_devices: int = 0,
 ):
+    # Multi-chip fitting mode: re-enter under a ("tile",) device mesh — the
+    # ambient mesh makes every stage's rasterizer shard its tile axis
+    # across the chips (ops/render.ambient_tile_axes; the whole pipeline
+    # incl. densify and diagnostics is the SAME code path, GSPMD-partitioned).
+    if shard_devices:
+        kwargs = dict(locals())
+        kwargs["shard_devices"] = 0
+        from ..parallel.mesh import fitting_mesh
+
+        with jax.set_mesh(fitting_mesh(shard_devices)):
+            return main(**kwargs)
+
     files = gio.list_sequence_files(
         sequence_path, frame_start=frame_start, frame_range=frame_range,
         skip_interval=skip_interval,
@@ -253,6 +266,9 @@ def main(
                     getattr(trainer, "last_tile_overflow", None))
     telemetry.gauge("t_final_overflow_last",
                     getattr(trainer, "last_t_final", None))
+    telemetry.gauge("k_escalations", getattr(trainer, "k_escalations", []))
+    telemetry.gauge("final_max_per_tile",
+                    trainer.render_config.max_per_tile)
     telemetry.gauge("platform", jax.default_backend())
     telemetry.dump(os.path.join(trainer.dir, "telemetry.json"))
     print_color(f"Total time: {total_min:.2f} mins", color="green")

@@ -174,7 +174,13 @@ class GFlowTrainer:
         self.telemetry = None  # optional utils.profiling.Telemetry — when
                                # set, train() attributes device vs host time
         self.last_t_final = None  # residual-transmittance stats on
-                                  # K-overflowing tiles (set when telemetry)
+                                  # K-overflowing tiles (every full stage)
+        # truncation guardrail (see train()): escalate max_per_tile when the
+        # measured truncation leak exceeds this mean residual transmittance
+        # on overflowing tiles; None disables
+        self.k_escalate_threshold: float | None = 0.01
+        self.k_escalate_max: int = 192
+        self.k_escalations: list = []
 
         # log directory + "0_latest" link (trainer.py:89-112)
         self.dir = None
@@ -330,9 +336,10 @@ class GFlowTrainer:
             render=self.render_config,
             snapshot_every=10 if save_videos else 0,
             # residual-transmittance stats on K-overflowing tiles (one extra
-            # feature channel on the post-loop diagnostic forward only)
-            telemetry_t_final=bool(self.telemetry is not None
-                                   and not camera_only),
+            # feature channel on the post-loop diagnostic forward only) —
+            # always on for full stages: they feed both telemetry and the
+            # K-escalation guardrail below
+            telemetry_t_final=not camera_only,
         )
         dyn = StageDynamics.make(
             lr=lr, lr_camera=lr_camera,
@@ -369,6 +376,34 @@ class GFlowTrainer:
                 "mean": float(info["t_final_overflow_mean"]),
                 "max": float(info["t_final_overflow_max"]),
             }
+            # K-escalation guardrail: the depth-sorted nearest-K truncation
+            # is only safe while the residual transmittance on overflowing
+            # tiles stays negligible (the dropped farther splats can shift a
+            # pixel by at most T_final). The scene-adaptive K=96 default was
+            # validated on a static probe; on moving-camera scenes the leak
+            # can grow (QUALITY_r03: mean 0.0285). When the end-of-stage
+            # mean exceeds the threshold, bump K for subsequent stages
+            # (bounded; one recompile per step). msplat has no truncation at
+            # all (reference gflow/utils/render.py:52-54) — this keeps the
+            # static-shape design honest about matching that.
+            if (self.k_escalate_threshold is not None
+                    and self.last_t_final["mean"] > self.k_escalate_threshold
+                    and self.render_config.max_per_tile < self.k_escalate_max):
+                import dataclasses
+
+                new_k = min(self.render_config.max_per_tile + 32,
+                            self.k_escalate_max)
+                print_color(
+                    f"\t[render] t_final on overflow tiles "
+                    f"{self.last_t_final['mean']:.4f} > "
+                    f"{self.k_escalate_threshold} — escalating max_per_tile "
+                    f"{self.render_config.max_per_tile} -> {new_k}",
+                    color="yellow")
+                self.render_config = dataclasses.replace(
+                    self.render_config, max_per_tile=new_k)
+                self.k_escalations.append(
+                    {"ckpt": ckpt_name, "to_k": new_k,
+                     "t_final_mean": self.last_t_final["mean"]})
 
         out = {
             "frames": [],

@@ -20,6 +20,10 @@ class Telemetry:
     def __init__(self):
         self.phase_seconds = defaultdict(float)
         self.phase_calls = defaultdict(int)
+        self.phase_first = {}   # first-call duration: on jit-cached phases
+        self.phase_max = {}     # the first call carries the compile cost,
+                                # so (first, max, rest-mean) separates
+                                # compile from steady state
         self.frames = 0
         self.opt_steps = 0
         self.gauges = {}
@@ -34,6 +38,8 @@ class Telemetry:
             dt = time.time() - t
             self.phase_seconds[name] += dt
             self.phase_calls[name] += 1
+            self.phase_first.setdefault(name, dt)
+            self.phase_max[name] = max(self.phase_max.get(name, 0.0), dt)
 
     def count_frame(self, opt_steps: int):
         self.frames += 1
@@ -51,7 +57,16 @@ class Telemetry:
             "sec_per_frame": round(total / max(self.frames, 1), 3),
             "opt_steps_per_sec": round(self.opt_steps / max(total, 1e-9), 2),
             "phases": {
-                k: {"sec": round(v, 3), "calls": self.phase_calls[k]}
+                k: {
+                    "sec": round(v, 3),
+                    "calls": self.phase_calls[k],
+                    # first call of a jit-cached phase pays the compile;
+                    # steady_sec_per_call is the post-compile rate
+                    "first_sec": round(self.phase_first[k], 3),
+                    "steady_sec_per_call": round(
+                        (v - self.phase_first[k])
+                        / max(self.phase_calls[k] - 1, 1), 3),
+                }
                 for k, v in sorted(self.phase_seconds.items())
             },
         }

@@ -31,7 +31,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--points", type=int, default=50_000)
-    ap.add_argument("--out", default="QUALITY_r03.json")
+    ap.add_argument("--out", default="QUALITY_r04.json")
     ap.add_argument("--width", type=int, default=854)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--traj-num", type=int, default=100)
@@ -49,7 +49,7 @@ def main():
 
     t0 = time.time()
     # canonical config — scripts/fit_video.sh == reference fit_video.sh:15-48
-    fit_video.main(
+    trainer = fit_video.main(
         num_points=args.points,
         sequence_path=seq,
         resize=None,                     # sequence is already target size
@@ -86,6 +86,7 @@ def main():
     # telemetry from the fit run: truncation gauges + device/host phase split
     telemetry_path = os.path.join(log_path, "telemetry.json")
     tile_overflow = t_final = phases = platform = None
+    k_escalations = final_k = None
     if os.path.exists(telemetry_path):
         with open(telemetry_path) as f:
             tel = json.load(f)
@@ -93,6 +94,25 @@ def main():
         t_final = tel.get("t_final_overflow_last")
         platform = tel.get("platform")
         phases = tel.get("phases")
+        k_escalations = tel.get("k_escalations")
+        final_k = tel.get("final_max_per_tile")
+
+    # Truncation error DIRECTLY, on the final fitted state of THIS scene
+    # (VERDICT r3 item 3): render the last frame at the shipped config vs a
+    # K=512 oracle (nearest-K keeps strictly more splats; the PSNR between
+    # the two bounds what the per-tile truncation costs in image space).
+    import dataclasses
+
+    import numpy as np
+
+    shipped = trainer.render_views(("rgb",))["rgb"]
+    oracle_cfg = dataclasses.replace(trainer.render_config, max_per_tile=512)
+    saved_cfg = trainer.render_config
+    trainer.render_config = oracle_cfg
+    oracle = trainer.render_views(("rgb",))["rgb"]
+    trainer.render_config = saved_cfg
+    diff = np.asarray(shipped, np.float32) - np.asarray(oracle, np.float32)
+    psnr_vs_oracle = float(-10 * np.log10(np.mean(diff ** 2) + 1e-12))
 
     out = {
         "config": {
@@ -106,6 +126,9 @@ def main():
         "wallclock_phases": phases,
         "tile_overflow_last_frame": tile_overflow,
         "t_final_overflow_last_frame": t_final,
+        "k_escalations": k_escalations,
+        "final_max_per_tile": final_k,
+        "truncation_psnr_vs_k512_oracle": round(psnr_vs_oracle, 2),
         "metrics": {k: (None if v is None or isinstance(v, str) else float(v))
                     for k, v in metrics.items()},
     }

@@ -1,12 +1,26 @@
-"""M-sensitivity probe: can max_tiles_per_gaussian shrink below 16?
+"""M-sensitivity probe: can max_tiles_per_gaussian shrink below 16 —
+and does the answer hold across heterogeneous content?
 
 The binning sort stream is L = capacity * M keys, so M is a direct lever on
 the per-iteration binning cost — but the static candidate grid also clamps
 the largest supported 3-sigma radius (projection.supported_max_radius:
 M=16 -> 24 px, M=12 -> 16 px, M=8 -> 8 px), shrinking oversized splats.
-Fit the same 480p/50k scene at each M with the canonical budget and report
-PSNR vs GT + ms/iter + the fraction of visible splats hitting the radius
-clamp. Writes M_QUALITY.json.
+
+Round-3 measured one smoothed-noise scene; VERDICT r3 (weak #3) asked for
+content where few BIG splats are the right answer — exactly where a tight
+radius clamp could crater quality. Scenes:
+
+- smooth:   smoothed random noise (the original probe; dense mid-frequency)
+- flat:     piecewise-constant "wall + sky" panels + a sky gradient — large
+            homogeneous regions, the best case for big splats
+- hifreq:   barely-smoothed noise (high-frequency texture)
+- sparse10k: the flat scene fitted with only 10k points (spacing 6.4 px →
+            RenderConfig.for_scene picks M=12 here, not 8; the probe checks
+            that choice against its neighbors)
+
+Fit each scene at each M with the canonical budget and report PSNR vs GT +
+ms/iter + the fraction of visible splats hitting the radius clamp. Writes
+M_QUALITY.json.
 """
 import functools
 import json
@@ -27,21 +41,62 @@ from gflow_tpu.ops.projection import (project_gaussians,
 from gflow_tpu.ops.render import RenderConfig
 from gflow_tpu.core.camera import pose_to_extr
 
+W, H = 854, 480
+CAP_FOR = lambda n: max(1024, -(-int(n * 1.5) // 1024) * 1024)
 
-def main():
-    W, H = 854, 480
-    N, CAP = 50_000, 51_200
-    rng = np.random.default_rng(0)
+
+def scene_smooth(rng):
     from scipy.ndimage import gaussian_filter
 
     img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
     for c in range(3):
         img[..., c] = gaussian_filter(img[..., c], 8)
     img = (img - img.min()) / (img.max() - img.min())
+    return img
+
+
+def scene_flat(rng):
+    """Piecewise-constant panels (walls) under a vertical sky gradient —
+    large homogeneous regions where few big splats are optimal."""
+    img = np.zeros((H, W, 3), np.float32)
+    # sky: top 40%, vertical gradient
+    sky_h = int(0.4 * H)
+    t = np.linspace(0, 1, sky_h, dtype=np.float32)[:, None, None]
+    img[:sky_h] = (1 - t) * np.asarray([0.45, 0.62, 0.95]) + t * np.asarray(
+        [0.80, 0.88, 1.00])
+    # walls: 4 flat panels
+    colors = [(0.55, 0.45, 0.35), (0.70, 0.68, 0.62), (0.35, 0.40, 0.45),
+              (0.62, 0.30, 0.25)]
+    xs = np.linspace(0, W, len(colors) + 1).astype(int)
+    for i, c in enumerate(colors):
+        img[sky_h:, xs[i]:xs[i + 1]] = c
+    return img
+
+
+def scene_hifreq(rng):
+    from scipy.ndimage import gaussian_filter
+
+    img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    for c in range(3):
+        img[..., c] = gaussian_filter(img[..., c], 1.5)
+    img = (img - img.min()) / (img.max() - img.min())
+    return img
+
+
+SCENES = [
+    ("smooth", scene_smooth, 50_000),
+    ("flat", scene_flat, 50_000),
+    ("hifreq", scene_hifreq, 50_000),
+    ("sparse10k", scene_flat, 10_000),
+]
+
+
+def fit_one(img, N, M, K=128):
+    CAP = CAP_FOR(N)
+    rng = np.random.default_rng(0)
     depth = (2 + img[..., 0]).astype(np.float32)
     intr = np.asarray([500.0, 500.0, W / 2, H / 2], np.float32)
     extr = np.c_[np.eye(3), np.zeros(3)].astype(np.float32)
-
     params0, n = init_params_from_image(img, depth, N, CAP, intr, extr,
                                         rng=rng)
     state0 = init_frame_state(CAP)._replace(n_alive=jnp.asarray(n, jnp.int32))
@@ -51,47 +106,61 @@ def main():
         occ_mask=jnp.zeros((H, W), bool))
     weights = LossWeights.make(rgb=1.0, depth=0.1, var=50.0, flow=0.01)
     intr_j = jnp.asarray(intr)
+
+    rcfg = RenderConfig(max_per_tile=K, max_tiles_per_gaussian=M)
+    cfg = StageConfig(W=W, H=H, iterations=300, render=rcfg)
+    dyn = StageDynamics.make(lr=1e-2, weights=weights, num_points=N)
+    f = jax.jit(functools.partial(train_stage, cfg=cfg, dyn=dyn))
+    p, s, info = f(params0, state0, targets, intr_j, jax.random.PRNGKey(0))
+    jax.block_until_ready(p)
+    t0 = time.perf_counter()
+    p, s, info = f(params0, state0, targets, intr_j, jax.random.PRNGKey(0))
+    jax.block_until_ready(p)
+    dt = (time.perf_counter() - t0) / 300 * 1e3
+
+    # radius-clamp saturation on the fitted scene: how many visible splats
+    # would exceed the supported radius without the clamp?
+    from gflow_tpu.core.scene import activate
+
+    @jax.jit
+    def clamp_frac(p):
+        proj = project_gaussians(
+            p.xyz, activate("scale", p.scale),
+            activate("rotate", p.rotate), intr_j,
+            pose_to_extr(p.pose), W, H, max_radius=None)
+        vis = proj["visible"] & (jnp.arange(CAP) < s.n_alive)
+        rmax = supported_max_radius(M)
+        return (jnp.sum((proj["radius"] > rmax) & vis)
+                / jnp.maximum(jnp.sum(vis), 1))
+
     psnr = lambda a, b: float(-10 * np.log10(np.mean((a - b) ** 2) + 1e-12))
+    return {
+        "psnr_vs_gt": round(psnr(np.asarray(info["rgb"]), img), 3),
+        "ms_per_iter": round(dt, 3),
+        "supported_radius_px": supported_max_radius(M),
+        "clamped_frac": round(float(clamp_frac(p)), 5),
+        "tile_overflow": round(float(info["tile_overflow"]), 4),
+    }
 
+
+def main():
     out = {"platform": jax.default_backend(),
-           "config": "854x480, 50k pts, 300 iters, K=128, canonical losses"}
-    res = {}
-    for M in (16, 12, 8):
-        rcfg = RenderConfig(max_per_tile=128, max_tiles_per_gaussian=M)
-        cfg = StageConfig(W=W, H=H, iterations=300, render=rcfg)
-        dyn = StageDynamics.make(lr=1e-2, weights=weights, num_points=N)
-        f = jax.jit(functools.partial(train_stage, cfg=cfg, dyn=dyn))
-        p, s, info = f(params0, state0, targets, intr_j, jax.random.PRNGKey(0))
-        jax.block_until_ready(p)
-        t0 = time.perf_counter()
-        p, s, info = f(params0, state0, targets, intr_j, jax.random.PRNGKey(0))
-        jax.block_until_ready(p)
-        dt = (time.perf_counter() - t0) / 300 * 1e3
-
-        # radius-clamp saturation on the fitted scene: how many visible
-        # splats would exceed the supported radius without the clamp?
-        from gflow_tpu.core.scene import activate
-
-        @jax.jit
-        def clamp_frac(p):
-            proj = project_gaussians(
-                p.xyz, activate("scale", p.scale),
-                activate("rotate", p.rotate), intr_j,
-                pose_to_extr(p.pose), W, H, max_radius=None)
-            vis = proj["visible"] & (jnp.arange(CAP) < s.n_alive)
-            rmax = supported_max_radius(M)
-            return (jnp.sum((proj["radius"] > rmax) & vis)
-                    / jnp.maximum(jnp.sum(vis), 1))
-
-        res[str(M)] = {
-            "psnr_vs_gt": round(psnr(np.asarray(info["rgb"]), img), 3),
-            "ms_per_iter": round(dt, 3),
-            "supported_radius_px": supported_max_radius(M),
-            "clamped_frac": round(float(clamp_frac(p)), 5),
-            "tile_overflow": round(float(info["tile_overflow"]), 4),
-        }
-        print(f"[M] {M:3d} {res[str(M)]}", flush=True)
-    out["by_M"] = res
+           "config": "854x480, 300 iters, K=128, canonical losses;"
+                     " per-scene N as listed"}
+    scenes = {}
+    for name, make, N in SCENES:
+        rng = np.random.default_rng(0)
+        img = make(rng)
+        picked = RenderConfig.for_scene(W, H, N)
+        entry = {"num_points": N,
+                 "for_scene_picks": {"M": picked.max_tiles_per_gaussian,
+                                     "K": picked.max_per_tile},
+                 "by_M": {}}
+        for M in (16, 12, 8):
+            entry["by_M"][str(M)] = fit_one(img, N, M)
+            print(f"[{name}] M={M:3d} {entry['by_M'][str(M)]}", flush=True)
+        scenes[name] = entry
+    out["scenes"] = scenes
 
     with open("M_QUALITY.json", "w") as fh:
         json.dump(out, fh, indent=1)

@@ -32,10 +32,21 @@ import jax.numpy as jnp
 
 
 def device_mem():
+    """Device-memory evidence. memory_stats() is unsupported on the
+    tunneled axon device (returns None / raises) — fall back to summing the
+    live device buffers, which captures resident weights + activations kept
+    alive (an under-estimate of transient peak, labeled as such)."""
     try:
         stats = jax.local_devices()[0].memory_stats()
-        return {k: int(v) for k, v in stats.items()
-                if "bytes" in k and isinstance(v, (int, float))}
+        if stats:
+            return {k: int(v) for k, v in stats.items()
+                    if "bytes" in k and isinstance(v, (int, float))}
+    except Exception:
+        pass
+    try:
+        live = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                   for x in jax.live_arrays())
+        return {"live_device_bytes (resident lower bound)": live}
     except Exception:
         return None
 
@@ -142,7 +153,8 @@ def probe_alignment():
 
     t0 = time.perf_counter()
     res = global_align(edge_preds, n_frames, (H, W), n_sample=1024,
-                       lr1=0.07, steps1=500, lr2=0.014, steps2=200)
+                       lr1=0.07, steps1=500, lr2=0.014, steps2=200,
+                       collect_timings=True)
     sec = time.perf_counter() - t0
 
     # convergence: relative-pose translation error vs GT over the chain.
@@ -164,6 +176,7 @@ def probe_alignment():
         "config": "200 frames, logwin-3 symmetric (%d edges), 2-stage "
                   "500+200 iters, n_sample 1024" % len(edge_preds),
         "sec_per_chunk": round(sec, 2),
+        "timings": res.get("timings"),
         "scale_fit": round(s, 4),
         "gt_mean_step": round(gt_norm, 5),
         "mean_rel_trans_err": round(float(np.mean(errs)), 5),

