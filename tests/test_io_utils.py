@@ -203,3 +203,30 @@ def test_traj_visualizer_still_length_colors(tmp_path):
                  filename="vis_still", still_length=4)
     assert (tmp_path / "vis_still.mp4").exists() or any(
         p.suffix in (".mp4", ".avi") for p in tmp_path.iterdir())
+
+
+def test_background_writer_orders_and_raises(tmp_path):
+    """bgwriter: writes complete by flush(); errors surface at flush, not
+    silently on the worker thread."""
+    import numpy as np
+
+    from gflow_tpu.utils.bgwriter import BackgroundWriter
+
+    w = BackgroundWriter()
+    seen = []
+    for i in range(5):
+        w.submit(seen.append, i)
+    w.flush()
+    assert seen == [0, 1, 2, 3, 4]
+
+    def boom():
+        raise RuntimeError("disk on fire")
+
+    w.submit(boom)
+    w.submit(seen.append, 5)  # later writes still run
+    import pytest
+
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        w.flush()
+    assert seen[-1] == 5
+    w.flush()  # error is consumed; subsequent flushes are clean
