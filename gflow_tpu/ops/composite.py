@@ -24,6 +24,39 @@ from .projection import TILE
 from .reference import ALPHA_CLAMP, ALPHA_SKIP
 
 
+def blend_tile_block(c_uv, c_conic, c_op, c_feat, c_px, c_py, bg):
+    """Front-to-back alpha blend of a (C, K, ·) block of per-tile gathered
+    attributes onto (C, P) pixel coordinates -> (C, P, F).
+
+    The ONE compositing body every XLA path shares — the single-chip
+    chunked path, the tile-sharded multi-chip path (both via
+    composite_tiles), and the batched B-frames harness
+    (parallel/multichip.composite_tiles_batched). The Pallas kernel
+    (pallas_raster.py) is a semantics-identical performance drop-in,
+    golden-tested against this."""
+    dx = c_px[:, None, :] - c_uv[:, :, 0:1]  # (C, K, P)
+    dy = c_py[:, None, :] - c_uv[:, :, 1:2]
+    a = c_conic[:, :, 0:1]
+    b = c_conic[:, :, 1:2]
+    c = c_conic[:, :, 2:3]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    # clamp before exp: a PSD conic keeps power <= 0, but padded/garbage
+    # lanes can overflow exp and poison fused gradients with inf*0
+    alpha = jnp.minimum(ALPHA_CLAMP, c_op * jnp.exp(jnp.minimum(power, 0.0)))
+    alpha = jnp.where(power > 0, 0.0, alpha)
+    alpha = jnp.where(alpha < ALPHA_SKIP, 0.0, alpha)
+
+    trans = jnp.cumprod(1.0 - alpha, axis=1)  # inclusive, (C, K, P)
+    trans_excl = jnp.concatenate(
+        [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1
+    )
+    w = alpha * trans_excl  # (C, K, P)
+    out = jnp.einsum(
+        "ckp,ckf->cpf", w, c_feat, precision=jax.lax.Precision.HIGHEST
+    )  # (C, P, F)
+    return out + trans[:, -1][:, :, None] * bg[None, None, :]
+
+
 def composite_tiles(
     tile_lists: jax.Array,  # (T, K) int32, -1 = empty
     uv: jax.Array,          # (N, 2)
@@ -73,29 +106,7 @@ def composite_tiles(
     py = ty0[:, None].astype(jnp.float32) + offy[None, :]
 
     def do_chunk(args):
-        c_uv, c_conic, c_op, c_feat, c_px, c_py = args  # (C, K, ...), (C, P)
-        dx = c_px[:, None, :] - c_uv[:, :, 0:1]  # (C, K, P)
-        dy = c_py[:, None, :] - c_uv[:, :, 1:2]
-        a = c_conic[:, :, 0:1]
-        b = c_conic[:, :, 1:2]
-        c = c_conic[:, :, 2:3]
-        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-        # clamp before exp: a PSD conic keeps power <= 0, but padded/garbage
-        # lanes can overflow exp and poison fused gradients with inf*0
-        alpha = jnp.minimum(ALPHA_CLAMP, c_op * jnp.exp(jnp.minimum(power, 0.0)))
-        alpha = jnp.where(power > 0, 0.0, alpha)
-        alpha = jnp.where(alpha < ALPHA_SKIP, 0.0, alpha)
-
-        trans = jnp.cumprod(1.0 - alpha, axis=1)  # inclusive, (C, K, P)
-        trans_excl = jnp.concatenate(
-            [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1
-        )
-        w = alpha * trans_excl  # (C, K, P)
-        out = jnp.einsum(
-            "ckp,ckf->cpf", w, c_feat, precision=jax.lax.Precision.HIGHEST
-        )  # (C, P, F)
-        out = out + trans[:, -1][:, :, None] * bg[None, None, :]
-        return out
+        return blend_tile_block(*args, bg=bg)
 
     if shard_axes is not None:
         from jax.sharding import PartitionSpec

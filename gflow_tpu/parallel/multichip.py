@@ -38,13 +38,17 @@ from ..opt.state import Params, adam_update, init_opt_state  # noqa: F401 (init_
 from ..opt.train import StageConfig, StageDynamics, _activate, _gate_grads
 from ..ops.binning import bin_gaussians, tile_grid
 from ..ops.projection import project_gaussians, supported_max_radius, TILE
-from ..ops.reference import ALPHA_CLAMP, ALPHA_SKIP
 
 
 def composite_tiles_batched(tile_lists, uv, conic, opacity, features, bg,
                             W, H, n_tx, n_ty, constrain=None):
     """Batched tile compositing: tile_lists (B,T,K), point arrays (B,N,.).
-    Returns (B, H, W, F)."""
+    Returns (B, H, W, F). The blend is the SAME
+    ops/composite.blend_tile_block every XLA path shares; only the
+    batched gather + (B*T) flattening for the whole-mesh tile sharding is
+    specific to this harness."""
+    from ..ops.composite import blend_tile_block
+
     B, T, K = tile_lists.shape
     F = features.shape[-1]
     bg = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (F,))
@@ -72,20 +76,7 @@ def composite_tiles_batched(tile_lists, uv, conic, opacity, features, bg,
     g_uv, g_conic, g_op, g_feat = map(flat, (g_uv, g_conic, g_op, g_feat))
     px, py = map(lambda x: constrain(x) if constrain else x, (px, py))
 
-    dx = px[:, None, :] - g_uv[:, :, 0:1]   # (BT, K, P)
-    dy = py[:, None, :] - g_uv[:, :, 1:2]
-    a, b, c = g_conic[:, :, 0:1], g_conic[:, :, 1:2], g_conic[:, :, 2:3]
-    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(ALPHA_CLAMP, g_op * jnp.exp(power))
-    alpha = jnp.where(power > 0, 0.0, alpha)
-    alpha = jnp.where(alpha < ALPHA_SKIP, 0.0, alpha)
-
-    trans = jnp.cumprod(1.0 - alpha, axis=1)
-    trans_excl = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], 1)
-    w = alpha * trans_excl
-    out = jnp.einsum("tkp,tkf->tpf", w, g_feat,
-                     precision=jax.lax.Precision.HIGHEST)
-    out = out + trans[:, -1][:, :, None] * bg[None, None, :]
+    out = blend_tile_block(g_uv, g_conic, g_op, g_feat, px, py, bg)
 
     img = (
         out.reshape(B, n_ty, n_tx, TILE, TILE, F)
