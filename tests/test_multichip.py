@@ -135,3 +135,31 @@ def test_fullscale_step(tmp_path):
                            "MULTICHIP_FULLSCALE.json"), "w") as f:
         json.dump(out, f)
     assert peak_gb < 100, f"peak RSS {peak_gb} GB exceeds bound"
+
+
+@pytest.mark.slow
+def test_fit_video_shard_devices_end_to_end(tmp_path):
+    """`fit_video --shard-devices 8` is a usable fitting mode: the whole
+    pipeline (stages, densify, diagnostics, IO) runs under the mesh and
+    produces the standard artifacts."""
+    import os
+
+    from tests.synth import make_sequence
+
+    seq = make_sequence(tmp_path, n_frames=3, W=96, H=64)
+    os.chdir(tmp_path)
+    from gflow_tpu.pipeline.fit_video import main
+
+    trainer = main(
+        num_points=400, sequence_path=seq, iterations_first=30,
+        iterations_after=15, iterations_camera=5, camera_first=True,
+        lr=0.01, lr_after=5e-3, lambda_depth=0.1, lambda_var=50.0,
+        lambda_flow=0.01, lambda_still=1.0, densify_interval=15,
+        densify_times=1, traj_num=4,
+        logs_suffix=str(tmp_path / "logs_shard"), shard_devices=8,
+    )
+    assert trainer.render_config.tile_shard_axes == ("tile",)
+    d = trainer.dir
+    imgs = os.listdir(os.path.join(d, "images"))
+    assert any(f.startswith("img_00000") for f in imgs)
+    assert len(os.listdir(os.path.join(d, "ckpt"))) == 2
