@@ -50,6 +50,13 @@ def fitting_mesh(n_devices: int | None = None, platform: str | None = None
     gradient scatter-add into an all-reduce over ICI."""
     devs = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"fitting_mesh: {n_devices} devices requested but only "
+                f"{len(devs)} visible — refusing to silently run the "
+                "unchunked sharded compositor on fewer chips (its "
+                "per-device working set assumes the requested split)"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), ("tile",))
 

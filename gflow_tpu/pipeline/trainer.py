@@ -555,6 +555,15 @@ class GFlowTrainer:
                          os.path.join(seg_dir, f"{nm}_{ckpt_name}.png"),
                          arr.copy())
 
+    def flush_io(self):
+        """Drain the background diagnostic-image/video writer. fit_video
+        calls this once at end of run; direct GFlowTrainer users should call
+        it before reading the files train() queued (an atexit hook also
+        drains at interpreter exit, surfacing any deferred write errors)."""
+        from ..utils.bgwriter import flush_writes
+
+        flush_writes()
+
     def project_points(self, points):
         from ..core.camera import world2pix
 

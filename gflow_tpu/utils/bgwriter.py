@@ -61,6 +61,12 @@ def get_writer() -> BackgroundWriter:
     with _lock:
         if _writer is None:
             _writer = BackgroundWriter()
+            # the worker is a daemon thread — drain it at interpreter exit
+            # so direct GFlowTrainer users (no fit_video end-of-run flush)
+            # don't lose queued writes when the process ends
+            import atexit
+
+            atexit.register(flush_writes)
         return _writer
 
 

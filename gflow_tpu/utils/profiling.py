@@ -63,6 +63,9 @@ class Telemetry:
                     # first call of a jit-cached phase pays the compile;
                     # steady_sec_per_call is the post-compile rate
                     "first_sec": round(self.phase_first[k], 3),
+                    # max_sec exposes mid-run recompiles (e.g. a K
+                    # escalation) that would otherwise hide in the average
+                    "max_sec": round(self.phase_max[k], 3),
                     "steady_sec_per_call": round(
                         (v - self.phase_first[k])
                         / max(self.phase_calls[k] - 1, 1), 3),

@@ -6,24 +6,35 @@ the in-repo MJPEG-AVI muxer (same basename, .avi extension).
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
 _HAS_MP4 = None
+_PROBE_LOCK = threading.Lock()  # save_video runs on both the main thread
+                                # and the background writer thread
 
 
 def _mp4_available() -> bool:
     global _HAS_MP4
-    if _HAS_MP4 is None:
-        try:
-            import imageio.v2 as imageio
+    with _PROBE_LOCK:
+        if _HAS_MP4 is None:
+            import tempfile
 
-            w = imageio.get_writer("/tmp/_gflow_probe.mp4", fps=5)
-            w.close()
-            os.unlink("/tmp/_gflow_probe.mp4")
-            _HAS_MP4 = True
-        except Exception:
-            _HAS_MP4 = False
+            try:
+                import imageio.v2 as imageio
+
+                fd, probe = tempfile.mkstemp(suffix=".mp4")
+                os.close(fd)
+                try:
+                    w = imageio.get_writer(probe, fps=5)
+                    w.close()
+                finally:
+                    if os.path.exists(probe):
+                        os.unlink(probe)
+                _HAS_MP4 = True
+            except Exception:
+                _HAS_MP4 = False
     return _HAS_MP4
 
 

@@ -109,8 +109,10 @@ def main():
     oracle_cfg = dataclasses.replace(trainer.render_config, max_per_tile=512)
     saved_cfg = trainer.render_config
     trainer.render_config = oracle_cfg
-    oracle = trainer.render_views(("rgb",))["rgb"]
-    trainer.render_config = saved_cfg
+    try:
+        oracle = trainer.render_views(("rgb",))["rgb"]
+    finally:
+        trainer.render_config = saved_cfg
     diff = np.asarray(shipped, np.float32) - np.asarray(oracle, np.float32)
     psnr_vs_oracle = float(-10 * np.log10(np.mean(diff ** 2) + 1e-12))
 

@@ -42,7 +42,17 @@ from gflow_tpu.ops.render import RenderConfig
 from gflow_tpu.core.camera import pose_to_extr
 
 W, H = 854, 480
-CAP_FOR = lambda n: max(1024, -(-int(n * 1.5) // 1024) * 1024)
+
+
+def CAP_FOR(n):
+    """Capacity for the fit. N=50k keeps the round-3 artifact's 51,200 so
+    ms_per_iter stays comparable across rounds (the binning sort stream is
+    capacity*M — the trainer's own 1.5x-headroom default would grow it to
+    75,776 and read as a spurious per-iteration regression); other N use
+    the trainer default."""
+    if n == 50_000:
+        return 51_200
+    return max(1024, -(-int(n * 1.5) // 1024) * 1024)
 
 
 def scene_smooth(rng):
@@ -153,6 +163,7 @@ def main():
         img = make(rng)
         picked = RenderConfig.for_scene(W, H, N)
         entry = {"num_points": N,
+                 "capacity": CAP_FOR(N),
                  "for_scene_picks": {"M": picked.max_tiles_per_gaussian,
                                      "K": picked.max_per_tile},
                  "by_M": {}}

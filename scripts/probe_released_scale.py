@@ -155,7 +155,12 @@ def probe_alignment():
     res = global_align(edge_preds, n_frames, (H, W), n_sample=1024,
                        lr1=0.07, steps1=500, lr2=0.014, steps2=200,
                        collect_timings=True)
-    sec = time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    # collect_timings re-runs stage 1 once purely as a compile-vs-steady
+    # diagnostic; exclude it so sec_per_chunk measures what the PIPELINE
+    # pays (host assembly + compile + 500+200 refinement steps)
+    rerun = res.get("timings", {}).get("stage1_steady_rerun_sec") or 0.0
+    sec = wall - rerun
 
     # convergence: relative-pose translation error vs GT over the chain.
     # The DUSt3R-style alignment optimizes normalized (gauge-fixed) scale,
@@ -176,6 +181,7 @@ def probe_alignment():
         "config": "200 frames, logwin-3 symmetric (%d edges), 2-stage "
                   "500+200 iters, n_sample 1024" % len(edge_preds),
         "sec_per_chunk": round(sec, 2),
+        "wall_incl_diag_rerun": round(wall, 2),
         "timings": res.get("timings"),
         "scale_fit": round(s, 4),
         "gt_mean_step": round(gt_norm, 5),

@@ -138,7 +138,7 @@ def test_fullscale_step(tmp_path):
 
 
 @pytest.mark.slow
-def test_fit_video_shard_devices_end_to_end(tmp_path):
+def test_fit_video_shard_devices_end_to_end(tmp_path, monkeypatch):
     """`fit_video --shard-devices 8` is a usable fitting mode: the whole
     pipeline (stages, densify, diagnostics, IO) runs under the mesh and
     produces the standard artifacts."""
@@ -147,7 +147,7 @@ def test_fit_video_shard_devices_end_to_end(tmp_path):
     from tests.synth import make_sequence
 
     seq = make_sequence(tmp_path, n_frames=3, W=96, H=64)
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
     from gflow_tpu.pipeline.fit_video import main
 
     trainer = main(
