@@ -57,6 +57,17 @@ class StageConfig:
     telemetry_t_final: bool = False  # compute residual-transmittance stats on
                                      # K-overflowing tiles (diagnostic forward
                                      # only — the hot loop is unaffected)
+    rebin_every: int = 1      # >1: recompute tile binning (the per-iteration
+                              # sort of capacity*M packed keys) every N
+                              # iterations instead of every iteration,
+                              # carrying the lists through the loop. Splats
+                              # move <<1 px per step at the canonical lr, so
+                              # stale-by-(N-1) tile membership is a bounded
+                              # approximation (self-corrects at each rebin;
+                              # gradients are exact for the gathered values —
+                              # indices are integer data either way). msplat
+                              # re-bins every iteration; default 1 preserves
+                              # that exactly. Lean (non-snapshot) path only.
 
 
 class StageDynamics(NamedTuple):
@@ -95,10 +106,31 @@ def _activate(params: Params, n_alive):
     return scale, rotate, opacity, rgb
 
 
+def _compute_bins(params: Params, n_alive, intr, cfg: StageConfig):
+    """Tile binning from current geometry only (forward-only projection; the
+    indices are integer data, so no gradient path exists either way). Used
+    by the rebin_every>1 loop to refresh the carried lists."""
+    extr = pose_to_extr(params.pose)
+    scale, rotate, _, _ = _activate(params, n_alive)
+    proj = project_gaussians(
+        params.xyz, scale, rotate, intr, extr, cfg.W, cfg.H,
+        max_radius=supported_max_radius(cfg.render.max_tiles_per_gaussian),
+    )
+    return bin_gaussians(
+        proj["uv"], proj["depth"], proj["radius"], cfg.W, cfg.H,
+        max_per_tile=cfg.render.max_per_tile,
+        max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
+    )
+
+
 def _forward(params: Params, n_alive, state: FrameState, targets, intr,
              weights: LossWeights, cfg: StageConfig, flow_prior=None,
-             diag_t_final: bool = False):
+             diag_t_final: bool = False, bins=None):
     """Render + losses. Returns (total, aux).
+
+    bins: precomputed (possibly stale-by-a-few-iterations) tile lists from
+    the rebin_every>1 loop; None means bin fresh from this forward's own
+    projection (the exact msplat-equivalent default).
 
     diag_t_final (static): append a ones feature channel whose composited
     value is the per-pixel accumulated opacity sum(alpha_i * T_i); the
@@ -129,11 +161,12 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
     # transpose is also a barrier, so the backward splits identically.
     uv, depth, conic = jax.lax.optimization_barrier((uv, depth, conic))
     n_tx, n_ty = tile_grid(cfg.W, cfg.H)
-    bins = bin_gaussians(
-        uv, depth, radius, cfg.W, cfg.H,
-        max_per_tile=cfg.render.max_per_tile,
-        max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
-    )
+    if bins is None:
+        bins = bin_gaussians(
+            uv, depth, radius, cfg.W, cfg.H,
+            max_per_tile=cfg.render.max_per_tile,
+            max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
+        )
     from ..ops.render import resolve_backend
 
     compose = _get_compositor(cfg.render)
@@ -354,14 +387,14 @@ def train_stage(params: Params, state: FrameState, targets, intr,
                     events.append(("err", e))
     events.sort(key=lambda kv: kv[1])
 
-    def _fwd_update(i, params, opt_state, n_alive):
+    def _fwd_update(i, params, opt_state, n_alive, bins=None):
         """Shared per-iteration core: forward + gated grads + LinearLR Adam.
         LinearLR 1.0 -> 0.1 over `iterations` (trainer.py:384); frozen at
         constant attr lr after densify (see densify.py docstring)."""
 
         def loss_fn(p):
             return _forward(p, n_alive, state, targets, intr, dyn.weights,
-                            cfg, flow_prior=flow_prior)
+                            cfg, flow_prior=flow_prior, bins=bins)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = _gate_grads(grads, state, n_alive, cfg.camera_only)
@@ -454,7 +487,45 @@ def train_stage(params: Params, state: FrameState, targets, intr,
 
     init_carry = (params, opt_state, n_alive0, key, dummy_aux)
     snapshots = None
-    if cfg.snapshot_every <= 0:
+    if cfg.snapshot_every <= 0 and cfg.rebin_every > 1:
+        # ---- amortized-rebinning loop ----
+        # Tile lists ride the carry and refresh every rebin_every
+        # iterations (and unconditionally after densify — new points must
+        # enter the lists immediately). The rebin_every == 1 branch below
+        # keeps the original bins-inside-the-grad structure bit-for-bit.
+        from ..ops.binning import TileBins
+
+        n_tx, n_ty = tile_grid(cfg.W, cfg.H)
+        dummy_bins = TileBins(
+            tile_lists=jnp.full(
+                (n_tx * n_ty, cfg.render.max_per_tile), -1, jnp.int32),
+            tile_counts=jnp.zeros((n_tx * n_ty,), jnp.int32),
+        )
+
+        def one_iter_rebin(i, carry):
+            params, opt_state, n_alive, key, bins, _ = carry
+            bins = jax.lax.cond(
+                i % cfg.rebin_every == 0,
+                lambda b: _compute_bins(params, n_alive, intr, cfg),
+                lambda b: b,
+                bins,
+            )
+            params, opt_state, aux = _fwd_update(i, params, opt_state,
+                                                 n_alive, bins=bins)
+            aux = {k: aux[k] for k in ("uv", "depth", "metrics")}
+            return params, opt_state, n_alive, key, bins, aux
+
+        carry = (params, opt_state, n_alive0, key, dummy_bins, dummy_aux)
+        prev = 0
+        for kind, e in events:
+            carry = jax.lax.fori_loop(prev, e + 1, one_iter_rebin, carry)
+            p_, o_, n_, k_, _, a_ = carry
+            p_, o_, n_, k_, a_ = apply_densify((p_, o_, n_, k_, a_), kind)
+            carry = (p_, o_, n_, k_, _compute_bins(p_, n_, intr, cfg), a_)
+            prev = e + 1
+        carry = jax.lax.fori_loop(prev, cfg.iterations, one_iter_rebin, carry)
+        params, opt_state, n_alive, key, _, aux = carry
+    elif cfg.snapshot_every <= 0:
         carry = init_carry
         prev = 0
         for kind, e in events:

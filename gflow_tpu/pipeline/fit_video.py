@@ -64,6 +64,7 @@ def main(
     densify_err_percent: float = 1.0,
     seed: int = 0,
     shard_devices: int = 0,
+    rebin_every: int = 1,
 ):
     # Multi-chip fitting mode: re-enter under a ("tile",) device mesh — the
     # ambient mesh makes every stage's rasterizer shard its tile axis
@@ -111,6 +112,7 @@ def main(
         gt_image=gt_image0, gt_depth=gt_depth0, num_points=num_points,
         background=background, sequence_path=sequence_path,
         logs_suffix=logs_suffix, common_logs=common_logs, seed=seed,
+        rebin_every=rebin_every,
     )
     trainer.telemetry = telemetry  # device/host phase attribution
     trainer.load_camera(focal=focal, pp=pp)

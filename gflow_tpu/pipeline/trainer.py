@@ -124,7 +124,10 @@ class GFlowTrainer:
         render_config: RenderConfig | None = None,  # None: RenderConfig.for_scene
         seed: int = 0,
         make_logs: bool = True,
+        rebin_every: int = 1,  # >1: amortize tile binning across iterations
+                               # (opt/train.StageConfig.rebin_every)
     ):
+        self.rebin_every = int(rebin_every)
         self.gt_image = np.asarray(gt_image, np.float32)
         self.gt_depth = None if gt_depth is None else np.asarray(gt_depth, np.float32)
         self.gt_flow = None if gt_flow is None else np.asarray(gt_flow, np.float32)
@@ -335,6 +338,7 @@ class GFlowTrainer:
             bg=self.bg,
             render=self.render_config,
             snapshot_every=10 if save_videos else 0,
+            rebin_every=self.rebin_every,
             # residual-transmittance stats on K-overflowing tiles (one extra
             # feature channel on the post-loop diagnostic forward only) —
             # always on for full stages: they feed both telemetry and the

