@@ -131,10 +131,71 @@ def test_fullscale_step(tmp_path):
     out = {"loss": float(loss), "peak_rss_gb": round(peak_gb, 2),
            "shape": "B=2 854x480 cap=65536 K=128 on 2x4 mesh"}
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "MULTICHIP_FULLSCALE.json"), "w") as f:
-        json.dump(out, f)
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "MULTICHIP_FULLSCALE.json")
+    try:  # merge: the tile-sharded-stage entry lives in the same artifact
+        with open(path) as f:
+            prev = json.load(f)
+    except Exception:
+        prev = {}
+    prev.update(out)
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=1)
     assert peak_gb < 100, f"peak RSS {peak_gb} GB exceeds bound"
+
+
+@pytest.mark.slow
+def test_fullscale_tile_sharded_stage(tmp_path):
+    """The PRODUCT tile-sharded mode at the real canonical shape: a
+    3-iteration train_stage at 854x480/51.2k, tile axis sharded over the
+    2x4 mesh — proves the unchunked sharded compositor's memory story
+    (per-device alpha block is T/8 x K x 256). Opt in: GFLOW_FULLSCALE=1."""
+    import functools
+    import json
+    import os
+    import resource
+
+    if os.environ.get("GFLOW_FULLSCALE", "0") != "1":
+        pytest.skip("set GFLOW_FULLSCALE=1 to run the full-scale stage")
+
+    from gflow_tpu.opt import StageConfig, StageDynamics, train_stage
+    from gflow_tpu.opt.losses import LossWeights
+    from gflow_tpu.ops.render import RenderConfig, ambient_tile_axes
+    from gflow_tpu.parallel.mesh import fitting_mesh
+
+    W, H = 854, 480
+    params, state, targets = _tiny_stage_inputs(seed=1, W=W, H=H,
+                                                capacity=51_200)
+    dyn = StageDynamics.make(lr=1e-2, weights=LossWeights.make(rgb=1.0),
+                             num_points=50_000)
+    with jax.set_mesh(fitting_mesh(8, platform="cpu")):
+        base = RenderConfig.for_scene(W, H, 50_000)
+        assert base.tile_shard_axes == ambient_tile_axes() == ("tile",)
+        cfg = StageConfig(W=W, H=H, iterations=3, render=base)
+        fn = jax.jit(functools.partial(train_stage, cfg=cfg))
+        p, s, info = fn(params, state, targets,
+                        jnp.asarray([500.0, 500.0, W / 2, H / 2]),
+                        jax.random.PRNGKey(0), dyn=dyn)
+        jax.block_until_ready(p.xyz)
+    assert np.isfinite(float(info["metrics"]["total"]))
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    entry = {"loss": float(info["metrics"]["total"]),
+             "peak_rss_gb": round(peak_gb, 2),
+             "shape": f"854x480 cap=51200 M={base.max_tiles_per_gaussian} "
+                      f"K={base.max_per_tile}, 3-iter tile-sharded stage "
+                      "on ('tile',)=8 mesh"}
+    print(json.dumps(entry))
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "MULTICHIP_FULLSCALE.json")
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except Exception:
+        prev = {}
+    prev["tile_sharded_stage"] = entry
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=1)
+    assert peak_gb < 100
 
 
 @pytest.mark.slow
