@@ -39,7 +39,7 @@ from gflow_tpu.opt.initialize import init_params_from_image
 from gflow_tpu.ops.render import RenderConfig
 
 
-def _require_backend(timeout_s: float = 180.0, attempts: int = 3):
+def _require_backend(timeout_s: float = 240.0, attempts: int = 5):
     """Fail fast (one JSON error line + exit 1) instead of hanging forever
     when the tunneled TPU backend is unreachable — device init blocks
     indefinitely during tunnel outages.  Transient outages are retried
