@@ -98,10 +98,11 @@ def main():
         move_mask=jnp.zeros((H, W), bool),
         occ_mask=jnp.zeros((H, W), bool),
     )
-    # the same scene-adaptive caps the pipeline picks at this config
-    # (854x480/50k => max_tiles_per_gaussian 8, max_per_tile 96 — see
-    # RenderConfig.for_scene + M_QUALITY.json/K_QUALITY.json)
-    rcfg = RenderConfig.for_scene(W, H, N)
+    # the same scene-adaptive caps the pipeline picks for this scene
+    # (854x480/50k dense texture => max_tiles_per_gaussian 8, max_per_tile
+    # 96 — see RenderConfig.for_scene + M_QUALITY.json/K_QUALITY.json)
+    rcfg = RenderConfig.for_scene(W, H, N, image=img)
+    assert rcfg.max_tiles_per_gaussian == 8 and rcfg.max_per_tile == 96
     weights = LossWeights.make(rgb=1.0, depth=0.1, var=50.0, flow=0.01)
     dyn_cam = StageDynamics.make(lr=1e-2, lr_camera=1e-3, weights=weights,
                                  num_points=N)

@@ -47,6 +47,11 @@ def _rect_grid_dims(max_tiles_per_gaussian: int) -> tuple[int, int]:
     # wide-ish grids suit typical splats; MX power of two for cheap div/mod
     if m >= 64:
         return 8, 8
+    if m >= 48:
+        # guaranteed radius is set by min(MX, MY) (supported_max_radius):
+        # 8x6 gives 40 px at 3/4 the 8x8 sort stream — the rung for_scene
+        # needs between 24 px (4x4) and 56 px (8x8)
+        return 8, 6
     if m >= 32:
         return 8, 4
     if m >= 16:

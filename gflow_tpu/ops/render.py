@@ -46,18 +46,35 @@ class RenderConfig:
     tile_shard_axes: tuple | None = None
 
     @classmethod
-    def for_scene(cls, W: int, H: int, num_points: int) -> "RenderConfig":
+    def for_scene(cls, W: int, H: int, num_points: int,
+                  image=None) -> "RenderConfig":
         """Scene-adaptive caps (the GFlowTrainer default).
 
         max_tiles_per_gaussian sets both the binning sort-stream length
         (capacity * M keys) and the radius clamp
         (projection.supported_max_radius: M=8 -> 8 px, 12 -> 16, 16 -> 24):
         pick the smallest M whose supported radius still covers ~2.5x the
-        expected splat spacing sqrt(W*H/N). Measured at 854x480/50k
-        (M_QUALITY.json): the tighter M=8 clamp *improves* PSNR (the clamp
-        regularizes oversized splats) and cuts tile overflow 0.99 -> 0.25.
+        expected splat spacing.
 
-        In that dense regime the overflow drop also makes K=96 safe:
+        Spacing: points are placed by gradient-importance sampling
+        (core.sampling, reference complex_texture_sampling.py:4-46), so the
+        *typical pixel's* distance to its nearest splat is
+        1/sqrt(N * median(p)) — the median per-pixel sample density under
+        the actual init distribution — not sqrt(W*H/N), which assumes
+        uniform placement. With `image` given, the policy uses the measured
+        statistic (for uniform p the two coincide exactly); without it, the
+        uniform estimate.
+
+        Calibration (M_QUALITY.json, 4 scenes at 854x480): on densely
+        covered content (smoothed noise, high-freq texture; q50 spacing
+        ~3 px) the tight M=8 clamp *improves* PSNR (50.4 vs 42.4 dB — it
+        regularizes oversized splats) and cuts tile overflow 0.99 -> 0.26;
+        on content where samples concentrate on edges and flat regions need
+        few BIG splats (wall+sky: q50 6.7 px; the same scene at 10k points:
+        14.9 px) the clamp craters PSNR (M=8 loses 6.7 / 27.8 dB vs the
+        best M) — exactly what this statistic detects.
+
+        In the dense regime the overflow drop also makes K=96 safe:
         M=8/K=96 fits to 43.3 dB vs 42.4 at M=16/K=128 while 17% faster
         (probe in the M_QUALITY commit); K=64 loses 10 dB — not taken.
         Sparser scenes keep K=128 (K_QUALITY.json: at high overflow, K=96
@@ -65,13 +82,21 @@ class RenderConfig:
         import math
 
         spacing = math.sqrt(W * H / max(num_points, 1))
+        if image is not None:
+            import numpy as np
+
+            from ..core.sampling import gradient_probability_map
+
+            p_med = float(np.median(gradient_probability_map(
+                np.asarray(image, np.float32))))
+            spacing = 1.0 / math.sqrt(max(num_points * p_med, 1e-12))
         need = 2.5 * spacing
         shard = ambient_tile_axes()
-        for m in (8, 12, 16):
+        for m in (8, 12, 16, 48):
             if supported_max_radius(m) >= need:
                 return cls(max_per_tile=96 if m == 8 else 128,
                            max_tiles_per_gaussian=m, tile_shard_axes=shard)
-        return cls(max_per_tile=128, max_tiles_per_gaussian=32,
+        return cls(max_per_tile=128, max_tiles_per_gaussian=64,
                    tile_shard_axes=shard)
 
 

@@ -136,7 +136,8 @@ class GFlowTrainer:
         self.bg = BACKGROUNDS.get(background, 0.0)
         if render_config is None:
             render_config = RenderConfig.for_scene(self.W, self.H,
-                                                   self.num_points)
+                                                   self.num_points,
+                                                   image=self.gt_image)
         self.render_config = render_config
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)

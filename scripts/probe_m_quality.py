@@ -14,9 +14,10 @@ radius clamp could crater quality. Scenes:
 - flat:     piecewise-constant "wall + sky" panels + a sky gradient — large
             homogeneous regions, the best case for big splats
 - hifreq:   barely-smoothed noise (high-frequency texture)
-- sparse10k: the flat scene fitted with only 10k points (spacing 6.4 px →
-            RenderConfig.for_scene picks M=12 here, not 8; the probe checks
-            that choice against its neighbors)
+- sparse10k: the flat scene fitted with only 10k points (median sample
+            spacing 14.9 px → RenderConfig.for_scene picks the M=48
+            fallback (40 px radius); the probe sweeps that pick alongside
+            16/12/8)
 
 Fit each scene at each M with the canonical budget and report PSNR vs GT +
 ms/iter + the fraction of visible splats hitting the radius clamp. Writes
@@ -161,13 +162,18 @@ def main():
     for name, make, N in SCENES:
         rng = np.random.default_rng(0)
         img = make(rng)
-        picked = RenderConfig.for_scene(W, H, N)
+        picked = RenderConfig.for_scene(W, H, N, image=img)
         entry = {"num_points": N,
                  "capacity": CAP_FOR(N),
                  "for_scene_picks": {"M": picked.max_tiles_per_gaussian,
                                      "K": picked.max_per_tile},
                  "by_M": {}}
-        for M in (16, 12, 8):
+        ms = (16, 12, 8)
+        if picked.max_tiles_per_gaussian > 16:
+            # the policy chose the conservative fallback — sweep it too so
+            # the artifact carries evidence for that branch
+            ms = (picked.max_tiles_per_gaussian,) + ms
+        for M in ms:
             entry["by_M"][str(M)] = fit_one(img, N, M)
             print(f"[{name}] M={M:3d} {entry['by_M'][str(M)]}", flush=True)
         scenes[name] = entry

@@ -34,8 +34,8 @@ def make_scene(n=64, seed=0, W=64, H=48, spread=1.0):
     return to(xyz), to(scale), to(rotate), to(opacity), to(rgb), intr, extr
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_tiled_matches_dense(seed):
+@pytest.mark.parametrize("seed,m_tiles", [(0, 64), (1, 64), (0, 48)])
+def test_tiled_matches_dense(seed, m_tiles):
     W, H = 64, 48
     xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(seed=seed, W=W, H=H)
     proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
@@ -46,7 +46,7 @@ def test_tiled_matches_dense(seed):
         bg, W, H, tile_consistent=True,
     )
     bins = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
-                         max_per_tile=128, max_tiles_per_gaussian=64)
+                         max_per_tile=128, max_tiles_per_gaussian=m_tiles)
     n_tx, n_ty = tile_grid(W, H)
     img_tiled = composite_tiles(
         bins.tile_lists, proj["uv"], proj["conic"], opacity, rgb,
@@ -200,3 +200,58 @@ def test_finite_difference_gradcheck():
             2 * eps
         )
         np.testing.assert_allclose(g[i, 0], fd, atol=2e-2, rtol=2e-2)
+
+
+def test_for_scene_policy_by_content():
+    """RenderConfig.for_scene adapts M to the MEASURED init-sampling density
+    (M_QUALITY.json, 4 scenes): dense texture keeps the tight M=8 clamp;
+    content whose gradient-importance samples concentrate on edges (flat
+    walls/sky) needs larger supported radii — on those scenes M=8 craters
+    PSNR by 6.7-27.8 dB."""
+    from scipy.ndimage import gaussian_filter
+
+    from gflow_tpu.ops.render import RenderConfig
+    from gflow_tpu.ops.projection import supported_max_radius
+
+    W, H = 854, 480
+    rng = np.random.default_rng(0)
+    smooth = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    for c in range(3):
+        smooth[..., c] = gaussian_filter(smooth[..., c], 8)
+    smooth = (smooth - smooth.min()) / (smooth.max() - smooth.min())
+
+    flat = np.zeros((H, W, 3), np.float32)
+    sky_h = int(0.4 * H)
+    t = np.linspace(0, 1, sky_h, dtype=np.float32)[:, None, None]
+    flat[:sky_h] = (1 - t) * np.asarray([0.45, 0.62, 0.95]) + t * np.asarray(
+        [0.80, 0.88, 1.00])
+    xs = np.linspace(0, W, 5).astype(int)
+    for i, c in enumerate([(0.55, 0.45, 0.35), (0.70, 0.68, 0.62),
+                           (0.35, 0.40, 0.45), (0.62, 0.30, 0.25)]):
+        flat[sky_h:, xs[i]:xs[i + 1]] = c
+
+    dense = RenderConfig.for_scene(W, H, 50_000, image=smooth)
+    assert dense.max_tiles_per_gaussian == 8 and dense.max_per_tile == 96
+
+    wallsky = RenderConfig.for_scene(W, H, 50_000, image=flat)
+    assert wallsky.max_tiles_per_gaussian >= 12
+    assert wallsky.max_per_tile == 128
+
+    sparse = RenderConfig.for_scene(W, H, 10_000, image=flat)
+    # median sample spacing ~14.9 px -> needs ~37 px supported radius
+    assert supported_max_radius(sparse.max_tiles_per_gaussian) >= 37
+
+    # without an image the uniform-density estimate is used (back-compat)
+    uni = RenderConfig.for_scene(W, H, 50_000)
+    assert uni.max_tiles_per_gaussian == 8
+
+
+def test_rect_grid_radius_ladder():
+    """The for_scene ladder must be strictly useful: each rung's guaranteed
+    radius (set by min(MX, MY)) strictly increases."""
+    from gflow_tpu.ops.projection import supported_max_radius
+
+    radii = [supported_max_radius(m) for m in (8, 12, 16, 48, 64)]
+    assert radii == sorted(radii)
+    assert len(set(radii)) == len(radii)
+    assert supported_max_radius(48) == 40.0
