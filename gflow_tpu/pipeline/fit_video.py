@@ -147,8 +147,9 @@ def main(
         traj_index, split_interval, n_still_traj, closest_move = _select_traj_queries(
             trainer
         )
-        _eval_traj(trainer, traj_index, split_interval, collect, sequence_traj,
-                   sequence_traj_occlusion)
+        with telemetry.phase("host/traj_eval"):
+            _eval_traj(trainer, traj_index, split_interval, collect,
+                       sequence_traj, sequence_traj_occlusion)
 
     # ---- per-frame loop ----
     n_frames = len(img_paths) - 1
@@ -212,8 +213,13 @@ def main(
         )
         _collect_stage(collect, out, first=False)
         if traj_num:
-            _eval_traj(trainer, traj_index, split_interval, collect,
-                       sequence_traj, sequence_traj_occlusion)
+            # device renders + nearest-point queries; unwrapped this landed
+            # in no phase and its block-on-device leaked into the NEXT
+            # phase-wrapped device touch (seen as a 75 s host/checkpoint
+            # outlier in the first QUALITY_r04 capture)
+            with telemetry.phase("host/traj_eval"):
+                _eval_traj(trainer, traj_index, split_interval, collect,
+                           sequence_traj, sequence_traj_occlusion)
 
     total_min = (time.time() - start_time) / 60
 

@@ -37,6 +37,15 @@ def main():
     ap.add_argument("--traj-num", type=int, default=100)
     args = ap.parse_args()
 
+    # Persistent XLA compile cache (verified supported by the tunneled TPU
+    # plugin): frame-0 + the K-escalation recompiles otherwise dominate a
+    # short 6-frame run (first QUALITY_r04 capture: every full_stage call was
+    # a fresh ~60-90 s compile on the 1-CPU host). A cache-warm run measures
+    # steady state; the artifact records which one it was.
+    cache_dir = os.environ.setdefault(
+        "GFLOW_COMPILE_CACHE", "/tmp/gflow_quality_xla_cache")
+    cache_warm = os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) > 0
+
     from synth import make_sequence
 
     from gflow_tpu.pipeline import fit_video
@@ -124,6 +133,7 @@ def main():
             "scene": "moving GT camera (translate+yaw) + occlusion episode",
         },
         "platform": platform,
+        "compile_cache": {"dir": cache_dir, "warm_at_start": cache_warm},
         "sec_per_frame_incl_io": round(sec_per_frame, 3),
         "wallclock_phases": phases,
         "tile_overflow_last_frame": tile_overflow,
