@@ -424,7 +424,7 @@ class GFlowTrainer:
             # snapshots arrive as device-quantized uint8 (incl. the turbo
             # depth colormap) — one stacked transfer, no host-side conversion
             with phase("host/snapshot_transfer"):
-                snaps = {k: np.asarray(v) for k, v in info["snapshots"].items()}
+                snaps = jax.device_get(info["snapshots"])
             out["frames"] = list(snaps["rgb"])
             out["frames_center"] = list(snaps["center"])
             out["frames_depth"] = list(snaps["depth_map"])
@@ -468,7 +468,9 @@ class GFlowTrainer:
                 d = _compiled_diag(self.bg, self.W, self.H,
                                    self.render_config)(
                     self.params, self.state, self.intr)
-                views = {k: np.asarray(v) for k, v in d.items()}
+                # one pipelined transfer burst (per-view np.asarray pays a
+                # tunnel round-trip each)
+                views = jax.device_get(d)
             if int(self.state.last_num) > 0:
                 subsets = ((views["still_rgb"], views["still_center"]),
                            (views["move_rgb"], views["move_center"]))
@@ -644,23 +646,28 @@ class GFlowTrainer:
         os.makedirs(os.path.join(self.dir, "ckpt"), exist_ok=True)
         path = os.path.join(self.dir, "ckpt", f"{ckpt_name}.npz")
         n = int(self.state.n_alive)
+        # ONE batched device_get: per-array np.asarray costs a full tunnel
+        # round-trip each (8 of them); device_get pipelines the transfers
+        pulled = jax.device_get({
+            "xyz": self.params.xyz[:n],
+            "scale": self.params.scale[:n],
+            "rotate": self.params.rotate[:n],
+            "opacity": self.params.opacity[:n],
+            "rgb": self.params.rgb[:n],
+            "intr": self.intr,
+            "extr": self.get_extr(),
+            "still_mask": self.state.still_mask[:n],
+            "last_uv": self.state.last_uv[:n],
+        })
         # uncompressed: zlib of the ~12MB payload costs ~4s per frame on a
         # 1-CPU host (measured in the QUALITY phase split) for a ~30%
         # size win; the reference's torch.save is uncompressed too
         np.savez(
             path,
-            xyz=np.asarray(self.params.xyz[:n]),
-            scale=np.asarray(self.params.scale[:n]),
-            rotate=np.asarray(self.params.rotate[:n]),
-            opacity=np.asarray(self.params.opacity[:n]),
-            rgb=np.asarray(self.params.rgb[:n]),
-            intr=np.asarray(self.intr),
-            extr=np.asarray(self.get_extr()),
-            still_mask=np.asarray(self.state.still_mask[:n]),
             move_seg=self.move_seg if self.move_seg is not None else np.zeros(0),
-            last_uv=np.asarray(self.state.last_uv[:n]),
             width=self.W,
             height=self.H,
+            **pulled,
         )
         self.checkpoint_path = path
 
