@@ -433,9 +433,11 @@ class GFlowTrainer:
         # (trainer.py:604-609) ----
         if not camera_only:
             with phase("host/hull_seg"):
-                uv = np.asarray(info["uv"])
-                n = int(info["n_alive"])
-                still = np.asarray(self.state.still_mask)
+                # one pipelined transfer burst (three sequential pulls pay
+                # a tunnel round-trip each)
+                pulled = jax.device_get(
+                    (info["uv"], info["n_alive"], self.state.still_mask))
+                uv, n, still = pulled[0], int(pulled[1]), pulled[2]
                 within = (
                     (uv[:, 0] > 0) & (uv[:, 0] < self.W - 1)
                     & (uv[:, 1] > 0) & (uv[:, 1] < self.H - 1)
@@ -646,19 +648,25 @@ class GFlowTrainer:
         os.makedirs(os.path.join(self.dir, "ckpt"), exist_ok=True)
         path = os.path.join(self.dir, "ckpt", f"{ckpt_name}.npz")
         n = int(self.state.n_alive)
-        # ONE batched device_get: per-array np.asarray costs a full tunnel
-        # round-trip each (8 of them); device_get pipelines the transfers
+        # ONE batched device_get of the FULL capacity-shaped arrays, sliced
+        # on host: per-array np.asarray costs a full tunnel round-trip each,
+        # and device-side [:n] slices recompile for every new n — densify
+        # changes n every frame, so that was one fresh XLA compile per frame
+        # per array. Full capacity is ~3 MB; the slice is free on host.
         pulled = jax.device_get({
-            "xyz": self.params.xyz[:n],
-            "scale": self.params.scale[:n],
-            "rotate": self.params.rotate[:n],
-            "opacity": self.params.opacity[:n],
-            "rgb": self.params.rgb[:n],
+            "xyz": self.params.xyz,
+            "scale": self.params.scale,
+            "rotate": self.params.rotate,
+            "opacity": self.params.opacity,
+            "rgb": self.params.rgb,
             "intr": self.intr,
             "extr": self.get_extr(),
-            "still_mask": self.state.still_mask[:n],
-            "last_uv": self.state.last_uv[:n],
+            "still_mask": self.state.still_mask,
+            "last_uv": self.state.last_uv,
         })
+        for k in ("xyz", "scale", "rotate", "opacity", "rgb",
+                  "still_mask", "last_uv"):
+            pulled[k] = pulled[k][:n]
         # uncompressed: zlib of the ~12MB payload costs ~4s per frame on a
         # 1-CPU host (measured in the QUALITY phase split) for a ~30%
         # size win; the reference's torch.save is uncompressed too
