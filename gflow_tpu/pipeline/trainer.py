@@ -758,9 +758,12 @@ class GFlowTrainer:
             t["rgb"] = np.concatenate([t["rgb"], line_rgb])
             t["last_xyz"] = xyz_now.copy()
 
-        # uint8 leaves the device; render2img passes it through untouched
-        views = self.render_views(("rgb", "center", "depth_map_color"),
-                                  as_uint8=True)
+        # uint8 leaves the device; render2img passes it through untouched.
+        # One pipelined device_get: per-view np.asarray pays a tunnel
+        # round-trip each.
+        views = jax.device_get(
+            self.render_views(("rgb", "center", "depth_map_color"),
+                              as_uint8=True))
         out_img = render2img(views["rgb"])
         out_center = render2img(views["center"])
         out_depth = render2img(views["depth_map_color"])
