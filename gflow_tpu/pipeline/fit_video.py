@@ -366,7 +366,7 @@ def _eval_traj(trainer, traj_index, split_interval, collect, sequence_traj,
         return
     out_img, _, _, out_traj, out_upon = trainer.eval(
         traj_index=traj_index, line_scale=0.5, point_scale=2.0, alpha=0.8,
-        split_interval=split_interval,
+        split_interval=split_interval, need_center_depth=False,
     )
     collect["traj"].append(out_traj)
     collect["traj_upon"].append(out_upon)

@@ -57,6 +57,16 @@ def _compiled_stage(cfg: StageConfig):
     return jax.jit(functools.partial(train_stage, cfg=cfg))
 
 
+@functools.lru_cache(maxsize=1)
+def _compiled_world2pix():
+    from ..core.camera import world2pix
+
+    def go(points, intr, pose):
+        return world2pix(points, intr, pose_to_extr(pose))
+
+    return jax.jit(go)
+
+
 @functools.lru_cache(maxsize=16)
 def _compiled_diag(bg: float, W: int, H: int, config: RenderConfig):
     """ONE fused, jit-cached dispatch for all post-stage diagnostic renders
@@ -175,6 +185,11 @@ class GFlowTrainer:
         self.propagate_seg: np.ndarray | None = None
         self.mask_prompt_pts: np.ndarray | None = None
         self._traj = None
+        self._last_views = None  # last _compiled_diag render (one-shot reuse
+                                 # by eval(); cleared by any state mutation)
+        self.pose_list = None  # optional accumulated per-frame pose list —
+                               # saved in checkpoints when set (reference
+                               # trainer.py:265-266 saves it if present)
         self.telemetry = None  # optional utils.profiling.Telemetry — when
                                # set, train() attributes device vs host time
         self.last_t_final = None  # residual-transmittance stats on
@@ -224,6 +239,7 @@ class GFlowTrainer:
                 [np.asarray(extr_to_pose(jnp.asarray(extr)))[:4], t]
             )
             self.params = self.params._replace(pose=jnp.asarray(pose, jnp.float32))
+            self._last_views = None  # cached diag render is view-stale
         if show:
             print_color(f"[camera] intr: {np.asarray(self.intr)}")
             print_color(f"[camera] extr:\n{np.asarray(self.get_extr())}")
@@ -257,6 +273,7 @@ class GFlowTrainer:
         self.params = new_params._replace(pose=self.params.pose,
                                           depth_ab=self.params.depth_ab)
         self.state = self.state._replace(n_alive=jnp.asarray(n, jnp.int32))
+        self._last_views = None
         xyz = np.asarray(self.params.xyz[:n])
         print_color(
             f"[init] n={n} x range ({xyz[:,0].min():.3f},{xyz[:,0].max():.3f}) "
@@ -396,8 +413,14 @@ class GFlowTrainer:
                     and self.render_config.max_per_tile < self.k_escalate_max):
                 import dataclasses
 
-                new_k = min(self.render_config.max_per_tile + 32,
-                            self.k_escalate_max)
+                # jump straight to the policed max: the measured leak almost
+                # always means the scene's splat stacks are deep everywhere,
+                # and each intermediate rung is a full stage recompile
+                # (QUALITY_r04 paid three: 128->160->192). One recompile per
+                # sequence; K_PERF measures the per-K stage cost and
+                # K_QUALITY shows K beyond the leak point is pure headroom
+                # (truncation PSNR vs the K=512 oracle stays > 40 dB).
+                new_k = self.k_escalate_max
                 print_color(
                     f"\t[render] t_final on overflow tiles "
                     f"{self.last_t_final['mean']:.4f} > "
@@ -473,6 +496,7 @@ class GFlowTrainer:
                 # one pipelined transfer burst (per-view np.asarray pays a
                 # tunnel round-trip each)
                 views = jax.device_get(d)
+                self._last_views = views  # eval() reuses this render
             if int(self.state.last_num) > 0:
                 subsets = ((views["still_rgb"], views["still_center"]),
                            (views["move_rgb"], views["move_center"]))
@@ -574,9 +598,10 @@ class GFlowTrainer:
         flush_writes()
 
     def project_points(self, points):
-        from ..core.camera import world2pix
-
-        return world2pix(jnp.asarray(points), self.intr, self.get_extr())
+        # jitted: eager world2pix dispatches ~10 ops through the device
+        # tunnel per call, and this sits on the per-frame traj-eval path
+        return _compiled_world2pix()(jnp.asarray(points), self.intr,
+                                     self.params.pose)
 
     # ------------------------------------------------------------------
     # mask-prompt propagation (reference: trainer.py:290-330)
@@ -647,13 +672,15 @@ class GFlowTrainer:
     def save_checkpoint(self, ckpt_name="ckpt"):
         os.makedirs(os.path.join(self.dir, "ckpt"), exist_ok=True)
         path = os.path.join(self.dir, "ckpt", f"{ckpt_name}.npz")
-        n = int(self.state.n_alive)
         # ONE batched device_get of the FULL capacity-shaped arrays, sliced
         # on host: per-array np.asarray costs a full tunnel round-trip each,
         # and device-side [:n] slices recompile for every new n — densify
         # changes n every frame, so that was one fresh XLA compile per frame
         # per array. Full capacity is ~3 MB; the slice is free on host.
+        # n_alive rides the same batch (a separate int() was one extra
+        # blocking round-trip per checkpoint).
         pulled = jax.device_get({
+            "n_alive": self.state.n_alive,
             "xyz": self.params.xyz,
             "scale": self.params.scale,
             "rotate": self.params.rotate,
@@ -664,9 +691,14 @@ class GFlowTrainer:
             "still_mask": self.state.still_mask,
             "last_uv": self.state.last_uv,
         })
+        n = int(pulled.pop("n_alive"))
         for k in ("xyz", "scale", "rotate", "opacity", "rgb",
                   "still_mask", "last_uv"):
             pulled[k] = pulled[k][:n]
+        extras = {}
+        if self.pose_list is not None:
+            # optional accumulated pose list (reference trainer.py:265-266)
+            extras["pose_list"] = np.asarray(self.pose_list, np.float32)
         # uncompressed: zlib of the ~12MB payload costs ~4s per frame on a
         # 1-CPU host (measured in the QUALITY phase split) for a ~30%
         # size win; the reference's torch.save is uncompressed too
@@ -675,6 +707,7 @@ class GFlowTrainer:
             move_seg=self.move_seg if self.move_seg is not None else np.zeros(0),
             width=self.W,
             height=self.H,
+            **extras,
             **pulled,
         )
         self.checkpoint_path = path
@@ -716,13 +749,16 @@ class GFlowTrainer:
         )
         if d["move_seg"].size:
             self.move_seg = d["move_seg"]
+        if "pose_list" in d:
+            self.pose_list = list(d["pose_list"])
+        self._last_views = None
 
     # ------------------------------------------------------------------
     # trajectory eval (reference: trainer.py:713-811)
     # ------------------------------------------------------------------
 
     def eval(self, traj_index, line_scale=0.1, point_scale=0.3, alpha=0.5,
-             split_interval=None):
+             split_interval=None, need_center_depth=True):
         traj_index = np.asarray(traj_index, int)
         num_traj = len(traj_index)
         xyz_now = np.asarray(self.params.xyz)[traj_index]
@@ -748,6 +784,21 @@ class GFlowTrainer:
                 "last_xyz": xyz_now.copy(),
                 "last_rgb": rgb.copy(),
             }
+            # FIXED line-set capacity (sized properly at the first append,
+            # when the per-frame growth is known) + a lean frozen render
+            # config: the round-4 pow-2 repadding recompiled render_traj_jit
+            # at every capacity crossing AND at every K escalation — 12.5
+            # s/frame of host/traj_eval, ~3x the whole optimization budget
+            # (QUALITY_r04; VERDICT r4 item 1). Traj splats are points/thin
+            # lines a few px wide, so M=8 binning always covers them
+            # regardless of the scene policy's M, and the config never
+            # changes mid-run.
+            import dataclasses
+
+            self._traj_cap = max(4096, _pow2ceil(num_traj))
+            self._traj_cfg = dataclasses.replace(
+                self.render_config, max_tiles_per_gaussian=8,
+                max_per_tile=128)
         else:
             t = self._traj
             line_xyz, line_rgb = _gen_line_set(t["last_xyz"], xyz_now, t["last_rgb"])
@@ -757,22 +808,41 @@ class GFlowTrainer:
             )
             t["rgb"] = np.concatenate([t["rgb"], line_rgb])
             t["last_xyz"] = xyz_now.copy()
+            # final capacity from the measured per-frame growth (>= 3
+            # frames of slack beyond frame 1's total; at most ONE further
+            # compile, and only if this exceeds the initial 4096)
+            self._traj_cap = max(
+                self._traj_cap,
+                _pow2ceil(len(t["xyz"]) + 3 * (len(line_xyz) + num_traj)))
+            if len(t["xyz"]) > self._traj_cap:
+                # drop the oldest (most-faded) prefix: entries are appended
+                # chronologically and old opacity decays by `alpha` per
+                # frame, so the dropped trails contribute < alpha^k — the
+                # capacity is sized so k is far past visibility (0.8^15
+                # < 4%). Keeps the shape fixed forever (zero recompiles).
+                drop = len(t["xyz"]) - self._traj_cap
+                for k in ("xyz", "opacity", "rgb"):
+                    t[k] = t[k][drop:]
 
-        # uint8 leaves the device; render2img passes it through untouched.
-        # One pipelined device_get: per-view np.asarray pays a tunnel
-        # round-trip each.
-        views = jax.device_get(
-            self.render_views(("rgb", "center", "depth_map_color"),
-                              as_uint8=True))
+        # Reuse the stage's own diagnostic render (same params, same view —
+        # _compiled_diag in train()) instead of paying a second full
+        # render dispatch + transfer per frame; one-shot, so any state
+        # mutation between train() and eval() falls back to a fresh render.
+        views = self._last_views
+        self._last_views = None
+        if views is None or (need_center_depth and "center" not in views):
+            outs = (("rgb", "center", "depth_map_color")
+                    if need_center_depth else ("rgb",))
+            views = jax.device_get(self.render_views(outs, as_uint8=True))
         out_img = render2img(views["rgb"])
-        out_center = render2img(views["center"])
-        out_depth = render2img(views["depth_map_color"])
+        out_center = (render2img(views["center"])
+                      if need_center_depth else None)
+        out_depth = (render2img(views["depth_map_color"])
+                     if need_center_depth else None)
 
         t = self._traj
         nt = len(t["xyz"])
-        # pad the growing line-set to the next power of two so repeated
-        # eval() calls reuse one compiled shape (padding slots: opacity 0)
-        cap = max(256, 1 << (nt - 1).bit_length())
+        cap = self._traj_cap
         xyz_p = np.zeros((cap, 3), np.float32)
         xyz_p[:nt] = t["xyz"]
         xyz_p[nt:, 2] = -1.0  # behind the camera
@@ -788,7 +858,7 @@ class GFlowTrainer:
             jnp.asarray(rgb_p),
             self.intr, self.get_extr(), self.bg, self.W, self.H,
             point_num=num_traj, line_scale=line_scale, point_scale=point_scale,
-            config=self.render_config, n_actual=nt, as_uint8=True,
+            config=self._traj_cfg, n_actual=nt, as_uint8=True,
         )
         out_traj = render2img(traj_img)
         # screen blending (trainer.py:798-806)
@@ -802,21 +872,27 @@ def _unit(q):
     return q / np.linalg.norm(q, axis=-1, keepdims=True)
 
 
+def _pow2ceil(n: int) -> int:
+    return 1 << max(0, int(n) - 1).bit_length()
+
+
 def _gen_line_set(xyz1: np.ndarray, xyz2: np.ndarray, rgb: np.ndarray):
     """Densify segments between consecutive trajectory positions into point
     strips; returns (line+endpoint xyz, rgb) with endpoints LAST (reference:
-    gflow/utils/trainer_functions.py:5-40)."""
-    diff = xyz2 - xyz1
+    gflow/utils/trainer_functions.py:5-40). Vectorized over queries: one
+    (Q, max_len) grid masked per-row — the per-query Python loop cost
+    O(queries) host milliseconds every frame on the traj-eval critical path."""
+    diff = xyz2 - xyz1                          # (Q, 3)
     dist = np.linalg.norm(diff, axis=1)
-    line_xyz, line_rgb = [], []
-    for i in range(len(xyz1)):
-        L = max(2, int(dist[i] * 100))
-        ts = np.arange(L - 1, dtype=np.float32) / (L - 1)
-        line_xyz.append(xyz1[i] + ts[:, None] * diff[i])
-        line_rgb.append(np.tile(rgb[i], (L - 1, 1)))
-    line_xyz.append(xyz2)
-    line_rgb.append(rgb)
+    # reference: L = max(2, int(dist*100)); emits L-1 points at t = k/(L-1)
+    n_seg = np.maximum(2, (dist * 100).astype(np.int64)) - 1   # (Q,)
+    max_n = int(n_seg.max()) if len(n_seg) else 1
+    ts = (np.arange(max_n, dtype=np.float32)[None, :]
+          / np.maximum(n_seg, 1)[:, None])                     # (Q, max_n)
+    valid = np.arange(max_n)[None, :] < n_seg[:, None]
+    pts = xyz1[:, None, :] + ts[..., None] * diff[:, None, :]  # (Q, max_n, 3)
+    cols = np.broadcast_to(rgb[:, None, :], pts.shape)
     return (
-        np.concatenate(line_xyz).astype(np.float32),
-        np.concatenate(line_rgb).astype(np.float32),
+        np.concatenate([pts[valid], xyz2]).astype(np.float32),
+        np.concatenate([cols[valid], rgb]).astype(np.float32),
     )

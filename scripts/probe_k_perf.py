@@ -63,14 +63,21 @@ def main():
         cfg = StageConfig(W=W, H=H, iterations=iters, render=rcfg,
                           densify_occ=False, densify_interval=100,
                           densify_times=2, max_densify=min(CAP, 16384))
-        f = jax.jit(functools.partial(train_stage, cfg=cfg, dyn=dyn))
-        p, s, _ = f(params, state, targets, intr_j, jax.random.PRNGKey(0))
+        # jit closes over cfg ONLY; dyn passes as a traced runtime argument
+        # exactly like the trainer's dispatch (pipeline/trainer.py
+        # _compiled_stage) — baking dyn in lets XLA constant-fold lr/loss
+        # weights into a different executable than production pays
+        f = jax.jit(functools.partial(train_stage, cfg=cfg))
+        p, s, _ = f(params, state, targets, intr_j, jax.random.PRNGKey(0),
+                    dyn=dyn)
         jax.block_until_ready(p)
         t0 = time.time()
         reps = 3
         for i in range(reps):
-            p, s, _ = f(params, state, targets, intr_j,
-                        jax.random.PRNGKey(i + 1))
+            # chain reps: each runs from the previous rep's densified/evolved
+            # point set — the state the guardrail actually pays in production
+            p, s, _ = f(p, s, targets, intr_j, jax.random.PRNGKey(i + 1),
+                        dyn=dyn)
         jax.block_until_ready(p)
         sec = (time.time() - t0) / reps
         rows.append({"max_per_tile": k, "stage_sec": round(sec, 3),
