@@ -35,6 +35,13 @@ class RenderConfig:
     # loses only splats already hidden behind ~full transmittance.
     max_per_tile: int = 128
     max_tiles_per_gaussian: int = 16
+    # two-class binning (ops/binning.bin_gaussians): >0 = splats whose
+    # tile-rect fits this smaller grid emit it instead of the full
+    # max_tiles_per_gaussian grid; at most large_frac*N splats get the full
+    # grid (largest-area first). 0 = single-class (every splat pays the
+    # worst splat's footprint in the sort stream).
+    small_tiles_per_gaussian: int = 0
+    large_frac: float = 0.125
     tile_chunk: int = 64
     center_scale: float = 10.0  # matches render_multiple's default (render.py:8)
     backend: str = "auto"  # "auto" | "xla" | "pallas"
@@ -94,10 +101,17 @@ class RenderConfig:
         shard = ambient_tile_axes()
         for m in (8, 12, 16, 48):
             if supported_max_radius(m) >= need:
+                # m > 8: two-class emission — the wide grid exists for the
+                # (few) big flat-region splats; typical splats are small, so
+                # paying the wide grid for every splat multiplied the sort
+                # stream 5x+ on sparse scenes (the r4 bench-vs-quality
+                # per-iter gap). BINCLASS probe calibrates large_frac.
                 return cls(max_per_tile=96 if m == 8 else 128,
-                           max_tiles_per_gaussian=m, tile_shard_axes=shard)
+                           max_tiles_per_gaussian=m,
+                           small_tiles_per_gaussian=0 if m == 8 else 8,
+                           tile_shard_axes=shard)
         return cls(max_per_tile=128, max_tiles_per_gaussian=64,
-                   tile_shard_axes=shard)
+                   small_tiles_per_gaussian=8, tile_shard_axes=shard)
 
 
 DEFAULT_CONFIG = RenderConfig()
@@ -191,6 +205,8 @@ def render(
         H,
         max_per_tile=config.max_per_tile,
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        small_tiles_per_gaussian=config.small_tiles_per_gaussian,
+        large_frac=config.large_frac,
     )
 
     compose = _get_compositor(config)
@@ -291,6 +307,8 @@ def render_traj(
         uv, depth, radius, W, H,
         max_per_tile=config.max_per_tile,
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        small_tiles_per_gaussian=config.small_tiles_per_gaussian,
+        large_frac=config.large_frac,
     )
     n = xyz.shape[0]
     cutoff = (n if n_actual is None else n_actual) - point_num

@@ -120,6 +120,8 @@ def _compute_bins(params: Params, n_alive, intr, cfg: StageConfig):
         proj["uv"], proj["depth"], proj["radius"], cfg.W, cfg.H,
         max_per_tile=cfg.render.max_per_tile,
         max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
+        small_tiles_per_gaussian=cfg.render.small_tiles_per_gaussian,
+        large_frac=cfg.render.large_frac,
     )
 
 
@@ -166,6 +168,8 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
             uv, depth, radius, cfg.W, cfg.H,
             max_per_tile=cfg.render.max_per_tile,
             max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
+            small_tiles_per_gaussian=cfg.render.small_tiles_per_gaussian,
+            large_frac=cfg.render.large_frac,
         )
     from ..ops.render import resolve_backend
 
@@ -500,6 +504,7 @@ def train_stage(params: Params, state: FrameState, targets, intr,
             tile_lists=jnp.full(
                 (n_tx * n_ty, cfg.render.max_per_tile), -1, jnp.int32),
             tile_counts=jnp.zeros((n_tx * n_ty,), jnp.int32),
+            large_clamped=jnp.zeros((), jnp.int32),
         )
 
         def one_iter_rebin(i, carry):

@@ -104,6 +104,8 @@ def batched_forward(bparams: Params, bstate, btargets, intr, cfg: StageConfig,
             u, d, r, cfg.W, cfg.H,
             max_per_tile=cfg.render.max_per_tile,
             max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
+            small_tiles_per_gaussian=cfg.render.small_tiles_per_gaussian,
+            large_frac=cfg.render.large_frac,
         )
     )(uv, depth, radius)
     n_tx, n_ty = tile_grid(cfg.W, cfg.H)

@@ -57,6 +57,56 @@ def test_tiled_matches_dense(seed, m_tiles):
     )
 
 
+def test_two_class_binning_matches_single_class():
+    """Two-class emission with a generous large cap must produce EXACTLY the
+    single-class lists: a small splat's rect fits both grids (same entries),
+    and every large splat gets a full-grid slot. Distinct depths make the
+    sort order deterministic."""
+    W, H = 64, 48
+    xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(seed=3, W=W, H=H)
+    # mix in some big splats so both classes are populated
+    scale = scale.at[:8].mul(8.0)
+    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    kw = dict(max_per_tile=128, max_tiles_per_gaussian=48)
+    ref = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H, **kw)
+    got = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                        small_tiles_per_gaussian=8, large_frac=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(got.tile_counts),
+                                  np.asarray(ref.tile_counts))
+    np.testing.assert_array_equal(np.asarray(got.tile_lists),
+                                  np.asarray(ref.tile_lists))
+    assert int(got.large_clamped) == 0
+    # large splats actually took the large path (small grid can't cover them)
+    rw = np.asarray(proj["radius"])
+    assert (rw > 8).sum() > 0, "scene has no large splats — test is vacuous"
+
+
+def test_two_class_cap_degrades_gracefully():
+    """With a tiny large cap, overflowing large splats fall back to the
+    small grid: lists stay valid (subset of entries), large_clamped counts
+    them, and the largest-area splats keep their full grid."""
+    W, H = 64, 48
+    xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(seed=4, W=W, H=H)
+    scale = scale.at[:16].mul(8.0)
+    proj = project_gaussians(xyz, scale, rotate, intr, extr, W, H)
+    kw = dict(max_per_tile=128, max_tiles_per_gaussian=48)
+    full = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                         small_tiles_per_gaussian=8, large_frac=1.0, **kw)
+    capped = bin_gaussians(proj["uv"], proj["depth"], proj["radius"], W, H,
+                           small_tiles_per_gaussian=8, large_frac=8 / 64,
+                           **kw)
+    assert int(capped.large_clamped) > 0
+    # every capped entry set is a subset of the uncapped per-tile set
+    fl = np.asarray(full.tile_lists)
+    cl = np.asarray(capped.tile_lists)
+    for t in range(fl.shape[0]):
+        f = set(fl[t][fl[t] >= 0].tolist())
+        c = set(cl[t][cl[t] >= 0].tolist())
+        assert c <= f, f"tile {t}: capped lists contain novel entries"
+    assert int(np.asarray(capped.tile_counts).sum()) < int(
+        np.asarray(full.tile_counts).sum())
+
+
 def test_tile_counts_cover_all_entries():
     W, H = 64, 48
     xyz, scale, rotate, opacity, rgb, intr, extr = make_scene(seed=2, W=W, H=H)
