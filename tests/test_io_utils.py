@@ -129,6 +129,29 @@ def test_viewer_state_and_render(tmp_path):
     jpeg2 = vs.render(1, 0.4, 0.1, -0.1, follow=False)  # orbit path
     assert jpeg2[:2] == b"\xff\xd8"
 
+    # free 6-DoF client pose (reference viewer.py:76-82): a NON-orbit pose —
+    # the training camera rolled 30deg about its own axis and trucked right;
+    # unreachable by the az/el/radius orbit parametrization
+    from gflow_tpu.viz.viewer import pose_to_w2c, w2c_to_pose
+
+    q, p = w2c_to_pose(vs.frames[0]["extr"])
+    roll = np.array([np.cos(np.pi / 12), 0, 0, np.sin(np.pi / 12)])
+    w, x, y, z = q
+    rw, rx, ry, rz = roll
+    q_rolled = np.array([
+        w * rw - x * rx - y * ry - z * rz,
+        w * rx + x * rw + y * rz - z * ry,
+        w * ry - x * rz + y * rw + z * rx,
+        w * rz + x * ry - y * rx + z * rw])
+    jpeg3 = vs.render(0, 0.0, 0.0, 0.0, follow=False,
+                      pose=list(q_rolled) + list(p + np.array([0.3, 0, 0])))
+    assert jpeg3[:2] == b"\xff\xd8"
+    assert jpeg3 != jpeg  # pose override actually changed the view
+
+    # round-trip: pose built from a frame's own extr re-renders that extr
+    same = pose_to_w2c(q, p)
+    np.testing.assert_allclose(same, vs.frames[0]["extr"], atol=1e-5)
+
 
 def test_load_checkpoint_grows_capacity(tmp_path):
     """A shell trainer (small capacity, like eval_tracking's
