@@ -200,6 +200,11 @@ class GFlowTrainer:
         self.k_escalate_threshold: float | None = 0.01
         self.k_escalate_max: int = 192
         self.k_escalations: list = []
+        # frame-0 pre-seed: the first measured stage escalates at
+        # k_preseed_fraction * threshold so borderline scenes pick the
+        # policed K before any low-K steady variant is compiled
+        self.k_preseed_fraction: float = 0.5
+        self._k_seen_first_stage = False
 
         # log directory + "0_latest" link (trainer.py:89-112)
         self.dir = None
@@ -408,8 +413,20 @@ class GFlowTrainer:
             # (bounded; one recompile per step). msplat has no truncation at
             # all (reference gflow/utils/render.py:52-54) — this keeps the
             # static-shape design honest about matching that.
-            if (self.k_escalate_threshold is not None
-                    and self.last_t_final["mean"] > self.k_escalate_threshold
+            # Pre-seed on the FIRST measured stage (frame 0's fit): use a
+            # halved threshold so a borderline scene jumps to the policed K
+            # *before* any steady-state stage variant is compiled at the low
+            # K — the escalated variants are then the only ones ever built,
+            # instead of paying both ramps (QUALITY_r04 paid a K=96 AND a
+            # K=192 compile of every steady variant). K=192 costs ~1.5x
+            # K=96 per iter (K_PERF.json), so the margin is 0.5x, not 0.
+            thr = self.k_escalate_threshold
+            preseed = thr is not None and not self._k_seen_first_stage
+            self._k_seen_first_stage = True
+            if preseed:
+                thr = thr * self.k_preseed_fraction
+            if (thr is not None
+                    and self.last_t_final["mean"] > thr
                     and self.render_config.max_per_tile < self.k_escalate_max):
                 import dataclasses
 
@@ -423,14 +440,15 @@ class GFlowTrainer:
                 new_k = self.k_escalate_max
                 print_color(
                     f"\t[render] t_final on overflow tiles "
-                    f"{self.last_t_final['mean']:.4f} > "
-                    f"{self.k_escalate_threshold} — escalating max_per_tile "
+                    f"{self.last_t_final['mean']:.4f} > {thr}"
+                    f"{' (frame-0 pre-seed)' if preseed else ''}"
+                    f" — escalating max_per_tile "
                     f"{self.render_config.max_per_tile} -> {new_k}",
                     color="yellow")
                 self.render_config = dataclasses.replace(
                     self.render_config, max_per_tile=new_k)
                 self.k_escalations.append(
-                    {"ckpt": ckpt_name, "to_k": new_k,
+                    {"ckpt": ckpt_name, "to_k": new_k, "preseed": preseed,
                      "t_final_mean": self.last_t_final["mean"]})
 
         out = {

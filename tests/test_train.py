@@ -365,6 +365,26 @@ def test_k_escalation_guardrail():
     t2.train(iterations=3, lr=1e-2, lambda_rgb=1.0)
     assert t2.render_config.max_per_tile == 8 and not t2.k_escalations
 
+    # frame-0 PRE-SEED (VERDICT r4 item 3): a borderline leak — between
+    # preseed_fraction*thr and thr — escalates on the FIRST measured stage
+    # (before any low-K steady variant compiles) but NOT on later stages.
+    measured = t2.last_t_final["mean"]
+    for first_stage, expect_fire in ((True, True), (False, False)):
+        t3 = GFlowTrainer(
+            gt_image=img, gt_depth=depth, num_points=400, make_logs=False,
+            render_config=RenderConfig(max_per_tile=8,
+                                       max_tiles_per_gaussian=8),
+        )
+        t3.k_escalate_threshold = measured * 1.5  # mean in (0.5*thr, thr)
+        t3._k_seen_first_stage = not first_stage
+        t3.init_gaussians_from_image(img, depth)
+        t3.train(iterations=3, lr=1e-2, lambda_rgb=1.0)
+        assert bool(t3.k_escalations) == expect_fire, (
+            f"pre-seed first_stage={first_stage}: escalations="
+            f"{t3.k_escalations}, mean={t3.last_t_final['mean']}")
+        if expect_fire:
+            assert t3.k_escalations[0]["preseed"] is True
+
 
 def test_rebin_every_matches_fresh_binning():
     """Amortized rebinning (rebin_every=2/4) must track the every-iteration
