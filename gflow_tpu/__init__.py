@@ -28,10 +28,32 @@ def _maybe_enable_compile_cache():
     import os
 
     cache_dir = os.environ.get("GFLOW_COMPILE_CACHE")
-    if not cache_dir:
+    if not cache_dir or cache_dir.lower() in ("0", "off", "none"):
         return
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def enable_default_compile_cache():
+    """Default-on persistent compile cache for the long-lived CLIs.
+
+    The prior models' cold compiles are the dominant first-run cost
+    (MODEL_SCALE r4: GMFlow 454 s, MASt3R 63 s before the first pair),
+    and fit_video's frame-0 stage compile is the same story — so the CLI
+    entry points call this to cache executables under ~/.cache unless the
+    user opted out with GFLOW_COMPILE_CACHE=off (or chose their own dir,
+    which _maybe_enable_compile_cache already honored at import)."""
+    import os
+
+    if os.environ.get("GFLOW_COMPILE_CACHE"):
+        return  # explicit dir or explicit off — already handled
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "gflow_tpu", "xla")
+    os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -1,5 +1,9 @@
 """CLI entry: python -m gflow_tpu.cli.fit_video --sequence-path ... (mirrors
 the reference's tyro CLI surface, gflow/fit_video.py:409-410)."""
+from .. import enable_default_compile_cache
+
+enable_default_compile_cache()  # cold prior/stage compiles dominate first runs
+
 from ..pipeline.fit_video import main
 from ..utils.cli import run_cli
 

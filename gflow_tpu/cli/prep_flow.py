@@ -1,5 +1,9 @@
 """CLI: python -m gflow_tpu.cli.prep_flow --img-dir <seq> --checkpoint <npz>
 (mirrors scripts/flow_unimatch.sh)."""
+from .. import enable_default_compile_cache
+
+enable_default_compile_cache()  # cold prior/stage compiles dominate first runs
+
 from ..pipeline.prep_flow import main
 from ..utils.cli import run_cli
 

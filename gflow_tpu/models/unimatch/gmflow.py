@@ -519,14 +519,35 @@ class BasicUpdateBlock(nn.Module):
     corr_channels: int
     mask_ch: int  # upsample_factor**2 * 9
 
-    @nn.compact
+    def setup(self):
+        # setup()-style children (attribute name == param name) so that both
+        # __call__ and the nn.scan-lifted scan_step share one definition
+        self.encoder = BasicMotionEncoder(self.corr_channels)
+        self.gru = SepConvGRU()
+        self.flow_head = FlowHead()
+        self.mask_0 = nn.Conv(256, (3, 3))
+        self.mask_2 = nn.Conv(self.mask_ch, (1, 1))
+
     def __call__(self, net, inp, corr, flow):
-        m = BasicMotionEncoder(self.corr_channels, name="encoder")(flow, corr)
-        net = SepConvGRU(name="gru")(net, jnp.concatenate([inp, m], axis=-1))
-        dflow = FlowHead(name="flow_head")(net)
-        mask = nn.Conv(self.mask_ch, (1, 1), name="mask_2")(
-            nn.relu(nn.Conv(256, (3, 3), name="mask_0")(net)))
+        m = self.encoder(flow, corr)
+        net = self.gru(net, jnp.concatenate([inp, m], axis=-1))
+        dflow = self.flow_head(net)
+        mask = self.mask_2(nn.relu(self.mask_0(net)))
         return net, mask, dflow
+
+    def scan_step(self, carry, _):
+        """One regression-refinement iteration as a lax.scan body: the
+        weights are shared across all 6 iterations (it is a GRU), so the
+        XLA graph needs the body ONCE, not unrolled 6x — the unrolled loop
+        dominated GMFlow's released-scale compile (MODEL_SCALE r4: 454 s
+        cold init). Matches the unrolled upstream loop step for step:
+        detach flow, flow-conditioned local correlation, update block,
+        additive flow update."""
+        net, inp, flow, up_mask, f0, f1 = carry
+        flow = jax.lax.stop_gradient(flow)
+        corr = local_correlation_with_flow(f0, f1, flow, radius=4)
+        net, up_mask, dflow = self(net, inp, corr, flow)
+        return (net, inp, flow + dflow, up_mask, f0, f1), None
 
 
 def upsample_flow_with_mask(flow, mask, factor: int):
@@ -626,22 +647,28 @@ class GMFlow(nn.Module):
             net, inp = jnp.split(proj, 2, axis=-1)
             net = jnp.tanh(net)
             inp = nn.relu(inp)
-            refine = BasicUpdateBlock(
-                corr_channels=81, mask_ch=cfg.upsample_factor**2 * 9,
-                name="refine",
-            )
+            # nn.scan over the shared-weight update block: params stay
+            # broadcast (unstacked, same tree as calling one instance in a
+            # Python loop) so converted released weights are unaffected;
+            # the body compiles once instead of num_reg_refine times
+            refine = nn.scan(
+                BasicUpdateBlock,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                length=cfg.num_reg_refine,
+                methods=["scan_step"],
+            )(corr_channels=81, mask_ch=cfg.upsample_factor**2 * 9,
+              name="refine")
             # upstream correlates the BACKBONE features captured at the
             # finest scale before warping/pos-embed/transformer
             # (feature0_ori/feature1_ori), not the transformer outputs
             f0_ori = feats0[cfg.num_scales - 1]
             f1_ori = feats1[cfg.num_scales - 1]
-            up_mask = None
-            for _ in range(cfg.num_reg_refine):
-                flow = jax.lax.stop_gradient(flow)
-                corr = local_correlation_with_flow(f0_ori, f1_ori, flow,
-                                                   radius=4)
-                net, up_mask, dflow = refine(net, inp, corr, flow)
-                flow = flow + dflow
+            hm, wm = f0_ori.shape[1], f0_ori.shape[2]
+            up_mask0 = jnp.zeros((B, hm, wm, cfg.upsample_factor**2 * 9),
+                                 flow.dtype)
+            carry = (net, inp, flow, up_mask0, f0_ori, f1_ori)
+            (net, inp, flow, up_mask, _, _), _ = refine.scan_step(carry, None)
             flow_full = upsample_flow_with_mask(flow, up_mask,
                                                 cfg.upsample_factor)
         else:
