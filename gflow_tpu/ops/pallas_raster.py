@@ -50,6 +50,17 @@ TILE_GROUP = 4       # tiles per grid step (unrolled)
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _interpret() -> bool:
+    """Run the kernels in Pallas interpret mode (pure-XLA emulation): lets
+    the shard_map-wrapped compositors execute on the virtual-CPU test
+    meshes (tests/test_multichip.py; __graft_entry__.dryrun_multichip).
+    Env-gated (GFLOW_PALLAS_INTERPRET=1), read at trace time — production
+    TPU paths never pay it."""
+    import os
+
+    return os.environ.get("GFLOW_PALLAS_INTERPRET", "0") == "1"
+
+
 def _pixel_offsets():
     """(1, P) in-tile x/y pixel offsets as f32."""
     i = jax.lax.broadcasted_iota(jnp.int32, (1, P_PIX), 1)
@@ -279,6 +290,7 @@ def _packed_fwd_call(g_attrs, counts, bg_vec, n_tx, with_cov=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=_interpret(),
     )(counts.reshape(G, TILE_GROUP), g_attrs, bg_vec[None, :])
     return tuple(out) if with_cov else out[0]
 
@@ -310,6 +322,7 @@ def _packed_bwd(n_tx, with_cov, res, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=_interpret(),
     )(counts.reshape(G, TILE_GROUP), g_attrs, bg_vec[None, :], g)
     return dattrs, None, jnp.zeros_like(bg_vec)
 
@@ -414,3 +427,123 @@ def composite_with_coverage_pallas(tile_lists, uv, conic, opacity, features,
         return img[:H, :W]
 
     return unflatten(img_flat, F), unflatten(cov_flat, 1)
+
+
+# ---------------------------------------------------------------------------
+# shard_map-wrapped compositors (multi-chip fitting mode)
+# ---------------------------------------------------------------------------
+
+
+def _shard_setup(shard_axes, tile_lists, tile_counts, n_tx, n_ty):
+    """Pad the tile-row count to a mesh-axis multiple and return
+    (mesh, axis sizes, padded lists/counts, rows per shard)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        raise ValueError(
+            "sharded Pallas compositor requires an ambient jax.set_mesh mesh"
+        )
+    sizes = tuple(int(mesh.shape[a]) for a in shard_axes)
+    D = 1
+    for s in sizes:
+        D *= s
+    K = tile_lists.shape[1]
+    if tile_counts is None:
+        tile_counts = jnp.sum(tile_lists >= 0, axis=1).astype(jnp.int32)
+    n_ty_pad = -(-n_ty // D) * D
+    if n_ty_pad != n_ty:
+        pr = (n_ty_pad - n_ty) * n_tx
+        tile_lists = jnp.concatenate(
+            [tile_lists, jnp.full((pr, K), -1, tile_lists.dtype)], 0
+        )
+        tile_counts = jnp.concatenate(
+            [tile_counts, jnp.zeros((pr,), tile_counts.dtype)], 0
+        )
+    return mesh, sizes, tile_lists, tile_counts, n_ty_pad // D
+
+
+def _band_index(shard_axes, sizes):
+    """Linearized shard index over (possibly several) mesh axes."""
+    idx = jnp.int32(0)
+    for a, s in zip(shard_axes, sizes):
+        idx = idx * s + jax.lax.axis_index(a)
+    return idx
+
+
+def composite_tiles_pallas_sharded(tile_lists, uv, conic, opacity, features,
+                                   bg, W, H, n_tx, n_ty, shard_axes,
+                                   tile_counts=None):
+    """shard_map-wrapped Pallas compositor — the multi-chip fitting mode on
+    the fast kernel (VERDICT r4 item 4; previously sharding forced the XLA
+    compositor).
+
+    The tile axis is row-major (tile id = ty*n_tx + tx), so sharding it in
+    contiguous blocks hands each device a horizontal BAND of tile rows.
+    Within a band the kernel runs unmodified: shift uv.y by the band's
+    pixel origin and composite the band as a standalone
+    (rows_per*TILE, n_tx*TILE) image — alpha depends only on (pixel - uv),
+    invariant under the joint shift. Per-Gaussian inputs stay replicated
+    (50k points is small); shard_map's transpose inserts the psum over
+    their gradients — the same ICI all-reduce GSPMD places for the sharded
+    XLA path (ops/composite.composite_tiles shard_axes)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh, sizes, tile_lists, tile_counts, rows_per = _shard_setup(
+        shard_axes, tile_lists, tile_counts, n_tx, n_ty)
+    band_H = rows_per * TILE
+    Wp = n_tx * TILE
+    F = features.shape[1]
+    bg_vec = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (F,))
+
+    def body(tl, cnt, uv, conic, opacity, features, bg_v):
+        y0 = (_band_index(shard_axes, sizes) * band_H).astype(uv.dtype)
+        shift = jnp.stack([jnp.zeros((), uv.dtype), y0])
+        return composite_tiles_pallas(
+            tl, uv - shift, conic, opacity, features, bg_v,
+            Wp, band_H, n_tx, rows_per, tile_counts=cnt,
+        )
+
+    t_spec = P(shard_axes)
+    rep = P()
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation; the replicated inputs' gradient psum is structural (the
+    # transpose of an untiled in_spec), not vma-dependent — grad parity vs
+    # the single-device compositor is locked in tests/test_multichip.py
+    img = jax.shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=(t_spec, t_spec, rep, rep, rep, rep, rep),
+        out_specs=P(shard_axes, None, None),
+    )(tile_lists, tile_counts, uv, conic, opacity, features, bg_vec)
+    return img[:H, :W]
+
+
+def composite_with_coverage_pallas_sharded(tile_lists, uv, conic, opacity,
+                                           features, mov, bg, W, H, n_tx,
+                                           n_ty, shard_axes,
+                                           tile_counts=None):
+    """Sharded twin of composite_with_coverage_pallas (camera-only stage
+    fast path): same band decomposition, two banded outputs."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh, sizes, tile_lists, tile_counts, rows_per = _shard_setup(
+        shard_axes, tile_lists, tile_counts, n_tx, n_ty)
+    band_H = rows_per * TILE
+    Wp = n_tx * TILE
+    F = features.shape[1]
+    bg_vec = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (F,))
+
+    def body(tl, cnt, uv, conic, opacity, features, mov, bg_v):
+        y0 = (_band_index(shard_axes, sizes) * band_H).astype(uv.dtype)
+        shift = jnp.stack([jnp.zeros((), uv.dtype), y0])
+        return composite_with_coverage_pallas(
+            tl, uv - shift, conic, opacity, features, mov, bg_v,
+            Wp, band_H, n_tx, rows_per, tile_counts=cnt,
+        )
+
+    t_spec = P(shard_axes)
+    rep = P()
+    img, cov = jax.shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=(t_spec, t_spec, rep, rep, rep, rep, rep, rep),
+        out_specs=(P(shard_axes, None, None), P(shard_axes, None, None)),
+    )(tile_lists, tile_counts, uv, conic, opacity, features, mov, bg_vec)
+    return img[:H, :W], cov[:H, :W]

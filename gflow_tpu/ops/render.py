@@ -47,9 +47,10 @@ class RenderConfig:
     backend: str = "auto"  # "auto" | "xla" | "pallas"
     # Multi-chip: mesh axis name(s) the compositor's tile dimension is
     # sharded over (requires an ambient jax.set_mesh; see
-    # parallel/multichip.py). Forces the XLA compositor — the Pallas kernel
-    # is single-chip; GSPMD partitions the XLA path and inserts the ICI
-    # collectives (gradient all-reduce over per-Gaussian attributes).
+    # parallel/multichip.py). On TPU the Pallas kernel runs per-chip on its
+    # band of tile rows via shard_map (pallas_raster.*_sharded); with
+    # backend="xla" GSPMD partitions the XLA compositor instead. Either
+    # way the backward's per-Gaussian gradient reduction rides ICI.
     tile_shard_axes: tuple | None = None
 
     @classmethod
@@ -354,8 +355,11 @@ def render_traj_jit(xyz, scale, rotate, opacity, rgb, intr, extr, bg, W, H,
 
 
 def resolve_backend(config: RenderConfig) -> str:
-    if config.tile_shard_axes is not None:
-        return "xla"  # the sharded tile axis partitions the XLA compositor
+    """Compositor implementation choice. Sharded mode (tile_shard_axes set)
+    no longer forces XLA: on TPU the multi-chip fitting mode stays on the
+    Pallas kernel via the shard_map band wrapper
+    (pallas_raster.composite_tiles_pallas_sharded); the XLA compositor
+    remains the GSPMD-partitioned fallback (backend="xla")."""
     if config.backend != "auto":
         return config.backend
     return "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -363,6 +367,19 @@ def resolve_backend(config: RenderConfig) -> str:
 
 def _get_compositor(config: RenderConfig):
     if resolve_backend(config) == "pallas":
+        if config.tile_shard_axes is not None:
+            from .pallas_raster import composite_tiles_pallas_sharded
+
+            def compose(tile_lists, uv, conic, opacity, features, bg, W, H,
+                        n_tx, n_ty, tile_counts=None):
+                return composite_tiles_pallas_sharded(
+                    tile_lists, uv, conic, opacity, features, bg, W, H,
+                    n_tx, n_ty, shard_axes=config.tile_shard_axes,
+                    tile_counts=tile_counts,
+                )
+
+            return compose
+
         from .pallas_raster import composite_tiles_pallas
 
         def compose(tile_lists, uv, conic, opacity, features, bg, W, H,

@@ -189,13 +189,24 @@ def _forward(params: Params, n_alive, state: FrameState, targets, intr,
         if resolve_backend(cfg.render) == "pallas":
             # fast path: ONE gather feeds both the composite and a
             # max-alpha coverage kernel (no second full composite)
-            from ..ops.pallas_raster import composite_with_coverage_pallas
+            if cfg.render.tile_shard_axes is not None:
+                from ..ops.pallas_raster import (
+                    composite_with_coverage_pallas_sharded)
 
-            img, cov = composite_with_coverage_pallas(
-                bins.tile_lists, uv, conic, opacity, feats,
-                mov.astype(jnp.float32), cfg.bg, cfg.W, cfg.H, n_tx, n_ty,
-                tile_counts=bins.tile_counts,
-            )
+                img, cov = composite_with_coverage_pallas_sharded(
+                    bins.tile_lists, uv, conic, opacity, feats,
+                    mov.astype(jnp.float32), cfg.bg, cfg.W, cfg.H,
+                    n_tx, n_ty, shard_axes=cfg.render.tile_shard_axes,
+                    tile_counts=bins.tile_counts,
+                )
+            else:
+                from ..ops.pallas_raster import composite_with_coverage_pallas
+
+                img, cov = composite_with_coverage_pallas(
+                    bins.tile_lists, uv, conic, opacity, feats,
+                    mov.astype(jnp.float32), cfg.bg, cfg.W, cfg.H, n_tx,
+                    n_ty, tile_counts=bins.tile_counts,
+                )
             move_mask = move_mask | (cov[..., 0] > 0)
         else:
             img = compose(

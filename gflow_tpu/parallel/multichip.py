@@ -169,7 +169,8 @@ def _flat_tile_constraint(mesh: Mesh):
 
 
 def dryrun_stage(mesh: Mesh, iterations: int = 12, W: int = 64, H: int = 48,
-                 capacity: int = 512, seed: int = 0):
+                 capacity: int = 512, seed: int = 0,
+                 backend: str = "auto"):
     """The PRODUCT multi-chip fitting mode, dryrun-sized: run the full
     single-frame `opt.train.train_stage` (iterations + occ/err densify
     events + finalize) under `jax.set_mesh(mesh)` with the rasterizer's
@@ -216,7 +217,8 @@ def dryrun_stage(mesh: Mesh, iterations: int = 12, W: int = 64, H: int = 48,
             W=W, H=H, iterations=iterations, densify_occ=True,
             densify_interval=max(2, iterations // 2), densify_times=1,
             max_densify=64,
-            render=RenderConfig(max_per_tile=64, tile_shard_axes=axes),
+            render=RenderConfig(max_per_tile=64, tile_shard_axes=axes,
+                                backend=backend),
         )
         fn = jax.jit(functools.partial(train_stage, cfg=cfg))
         p2, s2, info = fn(params, state, targets, intr=jnp.asarray(
