@@ -125,6 +125,10 @@ def scene_from_arrays(
     n = xyz.shape[0]
     if n > capacity:
         raise ValueError(f"{n} points exceed capacity {capacity}")
+    # normalize opacity to the declared (C, 1) column layout — a 1-D input
+    # otherwise builds a scene whose activated() broadcasts (C,)·(C,1) into
+    # a (C, C) opacity and fails deep inside the compositor
+    opacity_act = jnp.asarray(opacity_act, jnp.float32).reshape(n, 1)
 
     def pad(x, fill):
         return jnp.concatenate(
