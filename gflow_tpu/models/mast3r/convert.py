@@ -309,6 +309,30 @@ def save_npz(tree_flat: dict, path: str):
     np.savez_compressed(path, **tree_flat)
 
 
+def dry_run(manifest: dict | None = None, enc_depth: int = 24,
+            dec_depth: int = 12, head: str | None = None) -> dict:
+    """Validate the converter WITHOUT weights (weights-gated environments).
+
+    manifest: {torch_key: shape_list} as produced from a released checkpoint
+    by `{k: list(v.shape) for k, v in torch.load(p)["model"].items()}`.
+    Runs the full strict mapping over zero-byte broadcast arrays of those
+    shapes — every released key must map, every expected flax param must be
+    produced — and returns a summary. With manifest=None, returns the
+    expected checkpoint key inventory so a download can be diffed before
+    conversion."""
+    if manifest is None:
+        rules = _build_rules(enc_depth, dec_depth, head or "catmlp+dpt")
+        return {"model": "mast3r", "head": head or "catmlp+dpt",
+                "expected_keys": sorted(rules),
+                "ignored_prefixes": list(_IGNORED_PREFIXES)}
+    zero = np.zeros((), np.float32)
+    sd = {k: np.broadcast_to(zero, tuple(v)) for k, v in manifest.items()}
+    out = convert_state_dict(sd, enc_depth, dec_depth, head=head)
+    return {"model": "mast3r", "head": head or detect_head(sd), "ok": True,
+            "checkpoint_keys": len(manifest), "flax_params": len(out),
+            "total_parameters": int(sum(v.size for v in out.values()))}
+
+
 def convert_file(checkpoint_path: str, out_path: str,
                  enc_depth: int = 24, dec_depth: int = 12) -> str:
     """Convert a released .pth (as downloaded per the reference README) to

@@ -230,6 +230,22 @@ def save_npz(tree_flat: dict, path: str):
     np.savez_compressed(path, **tree_flat)
 
 
+def dry_run(manifest: dict | None = None, num_layers: int = 6) -> dict:
+    """Validate the converter WITHOUT weights — see mast3r.convert.dry_run.
+    manifest: {torch_key: shape_list}; None returns the expected released
+    gmflow-scale2-regrefine6 checkpoint key inventory."""
+    if manifest is None:
+        rules = _build_rules(num_layers)
+        return {"model": "unimatch", "expected_keys": sorted(rules),
+                "ignored_prefixes": list(_IGNORED_PREFIXES)}
+    zero = np.zeros((), np.float32)
+    sd = {k: np.broadcast_to(zero, tuple(v)) for k, v in manifest.items()}
+    out = convert_state_dict(sd, num_layers)
+    return {"model": "unimatch", "ok": True,
+            "checkpoint_keys": len(manifest), "flax_params": len(out),
+            "total_parameters": int(sum(v.size for v in out.values()))}
+
+
 def convert_file(checkpoint_path: str, out_path: str,
                  num_layers: int = 6) -> str:
     """Convert a released UniMatch .pth to the .npz prep_flow loads."""
