@@ -104,21 +104,24 @@ def main(
     sequence_traj_occlusion = []
 
     save_name0 = os.path.basename(str(img_paths[0])).split(".")[0]
-    gt_image0 = gio.load_image(img_paths[0], resize=resize, blur=blur)
-    gt_depth0 = gio.read_depth(
-        files["depths"][0], resize=resize, depth_scale=1.0, depth_offset=depth_offset
-    )
-    trainer = GFlowTrainer(
-        gt_image=gt_image0, gt_depth=gt_depth0, num_points=num_points,
-        background=background, sequence_path=sequence_path,
-        logs_suffix=logs_suffix, common_logs=common_logs, seed=seed,
-        rebin_every=rebin_every,
-    )
-    trainer.telemetry = telemetry  # device/host phase attribution
-    trainer.load_camera(focal=focal, pp=pp)
-    if load_extr:
-        trainer.load_camera(extr=extr_list[0])
-    trainer.init_gaussians_from_image(gt_image0, gt_depth0, num_points=num_points)
+    with telemetry.phase("host/init"):
+        gt_image0 = gio.load_image(img_paths[0], resize=resize, blur=blur)
+        gt_depth0 = gio.read_depth(
+            files["depths"][0], resize=resize, depth_scale=1.0,
+            depth_offset=depth_offset
+        )
+        trainer = GFlowTrainer(
+            gt_image=gt_image0, gt_depth=gt_depth0, num_points=num_points,
+            background=background, sequence_path=sequence_path,
+            logs_suffix=logs_suffix, common_logs=common_logs, seed=seed,
+            rebin_every=rebin_every,
+        )
+        trainer.telemetry = telemetry  # device/host phase attribution
+        trainer.load_camera(focal=focal, pp=pp)
+        if load_extr:
+            trainer.load_camera(extr=extr_list[0])
+        trainer.init_gaussians_from_image(gt_image0, gt_depth0,
+                                          num_points=num_points)
 
     with telemetry.phase("frame0_fit"):
         out = trainer.train(
@@ -144,9 +147,9 @@ def main(
     # ---- trajectory query selection (fit_video.py:163-223) ----
     traj_index, split_interval, n_still_traj, closest_move = [], None, 0, None
     if traj_num:
-        traj_index, split_interval, n_still_traj, closest_move = _select_traj_queries(
-            trainer
-        )
+        with telemetry.phase("host/traj_select"):
+            (traj_index, split_interval, n_still_traj,
+             closest_move) = _select_traj_queries(trainer)
         with telemetry.phase("host/traj_eval"):
             _eval_traj(trainer, traj_index, split_interval, collect,
                        sequence_traj, sequence_traj_occlusion)
@@ -156,19 +159,22 @@ def main(
     for i, img_path in enumerate(img_paths[1:]):
         save_name = os.path.basename(str(img_path)).split(".")[0]
         print_color(f"[{i+1}/{n_frames}] fitting {img_path}")
-        trainer.set_gt_image(gio.load_image(img_path, resize=resize, blur=blur))
-        trainer.set_gt_depth(
-            gio.read_depth(files["depths"][i + 1], resize=resize,
-                           depth_scale=1.0, depth_offset=depth_offset)
-        )
-        occ_mask = (
-            gio.load_image(files["occs"][i], resize=resize)[..., 0]
-            if i < len(files["occs"]) else None
-        )
-        trainer.set_gt_flow(gio.read_flow(files["flows"][i], resize=resize, blur=blur))
-        if load_extr and i + 1 < len(extr_list):
-            trainer.load_camera(extr=extr_list[i + 1])
-        mm = move_masks[i + 1] if i + 1 < len(move_masks) else None
+        with telemetry.phase("host/gt_io"):
+            trainer.set_gt_image(
+                gio.load_image(img_path, resize=resize, blur=blur))
+            trainer.set_gt_depth(
+                gio.read_depth(files["depths"][i + 1], resize=resize,
+                               depth_scale=1.0, depth_offset=depth_offset)
+            )
+            occ_mask = (
+                gio.load_image(files["occs"][i], resize=resize)[..., 0]
+                if i < len(files["occs"]) else None
+            )
+            trainer.set_gt_flow(
+                gio.read_flow(files["flows"][i], resize=resize, blur=blur))
+            if load_extr and i + 1 < len(extr_list):
+                trainer.load_camera(extr=extr_list[i + 1])
+            mm = move_masks[i + 1] if i + 1 < len(move_masks) else None
 
         if camera_first:
             print_color(f"[{i+1}/{n_frames}] fitting camera-only first ......")
@@ -206,12 +212,18 @@ def main(
         telemetry.count_frame(iterations_camera * int(camera_first)
                               + iterations_after)
 
-        sc = np.asarray(trainer.get_attribute("scale"))
-        print_color(
-            f"[check] scales max/min: {sc.max():.6f} {sc.min():.6f} | "
-            f"points: {trainer.current_pts_num()}"
-        )
-        _collect_stage(collect, out, first=False)
+        with telemetry.phase("host/attr_check"):
+            # reduce on device — only two scalars + n_alive leave the chip
+            # (pulling the capacity-shaped activated scale was ~0.8 MB/frame
+            # through the tunnel for a log line)
+            sc = trainer.get_attribute("scale")
+            sc_max, sc_min, npts = jax.device_get(
+                (sc.max(), sc.min(), trainer.state.n_alive))
+            print_color(
+                f"[check] scales max/min: {float(sc_max):.6f} "
+                f"{float(sc_min):.6f} | points: {int(npts)}"
+            )
+            _collect_stage(collect, out, first=False)
         if traj_num:
             # device renders + nearest-point queries; unwrapped this landed
             # in no phase and its block-on-device leaked into the NEXT
@@ -236,32 +248,39 @@ def main(
         ("sequence_move_seg", "move_seg", 5),
         ("sequence_traj", "traj", 5), ("sequence_traj_upon", "traj_upon", 5),
     ]
-    for name, key, fps in names:
-        save_video(os.path.join(trainer.dir, f"{name}.mp4"), collect[key], fps)
+    with telemetry.phase("host/finalize"):
+        for name, key, fps in names:
+            save_video(os.path.join(trainer.dir, f"{name}.mp4"),
+                       collect[key], fps)
 
-    with open(os.path.join(trainer.dir, "sequence_traj.pkl"), "wb") as f:
-        pickle.dump(sequence_traj, f)
-    with open(os.path.join(trainer.dir, "frames_sequence.pkl"), "wb") as f:
-        pickle.dump(collect["seq"], f)
-    with open(os.path.join(trainer.dir, "sequence_traj_occlusion.pkl"), "wb") as f:
-        pickle.dump(sequence_traj_occlusion, f)
+        with open(os.path.join(trainer.dir, "sequence_traj.pkl"), "wb") as f:
+            pickle.dump(sequence_traj, f)
+        with open(os.path.join(trainer.dir, "frames_sequence.pkl"), "wb") as f:
+            pickle.dump(collect["seq"], f)
+        with open(os.path.join(trainer.dir,
+                               "sequence_traj_occlusion.pkl"), "wb") as f:
+            pickle.dump(sequence_traj_occlusion, f)
 
     if traj_num and sequence_traj:
-        video = np.stack(collect["seq"]).transpose(0, 3, 1, 2)[None].astype(np.float32)
-        tracks = process_traj_to_tracks(sequence_traj)
-        occl = process_occu(sequence_traj_occlusion, tracks)
-        tv = TrajVisualizer(save_dir=trainer.dir, pad_value=0, linewidth=2,
-                            fps=5, show_first_frame=2)
-        tv.visualize(video=video, tracks=tracks, occulasions=occl,
-                     filename="sequence_traj_vis", still_length=n_still_traj)
-        if n_still_traj:
-            tv.visualize(video=video, tracks=tracks[:, :, :n_still_traj],
-                         occulasions=occl[:, :, :n_still_traj],
-                         filename="sequence_traj_vis_still")
-        if closest_move is not None and len(closest_move):
-            tv.visualize(video=video, tracks=tracks[:, :, -len(closest_move):],
-                         occulasions=occl[:, :, -len(closest_move):],
-                         filename="sequence_traj_vis_move")
+        with telemetry.phase("host/traj_vis"):
+            video = np.stack(collect["seq"]).transpose(
+                0, 3, 1, 2)[None].astype(np.float32)
+            tracks = process_traj_to_tracks(sequence_traj)
+            occl = process_occu(sequence_traj_occlusion, tracks)
+            tv = TrajVisualizer(save_dir=trainer.dir, pad_value=0,
+                                linewidth=2, fps=5, show_first_frame=2)
+            tv.visualize(video=video, tracks=tracks, occulasions=occl,
+                         filename="sequence_traj_vis",
+                         still_length=n_still_traj)
+            if n_still_traj:
+                tv.visualize(video=video, tracks=tracks[:, :, :n_still_traj],
+                             occulasions=occl[:, :, :n_still_traj],
+                             filename="sequence_traj_vis_still")
+            if closest_move is not None and len(closest_move):
+                tv.visualize(
+                    video=video, tracks=tracks[:, :, -len(closest_move):],
+                    occulasions=occl[:, :, -len(closest_move):],
+                    filename="sequence_traj_vis_move")
 
     # drain the background writer before declaring the run done — readers
     # (benchmark, tests) expect every submitted PNG/video on disk
@@ -370,7 +389,7 @@ def _eval_traj(trainer, traj_index, split_interval, collect, sequence_traj,
     )
     collect["traj"].append(out_traj)
     collect["traj_upon"].append(out_upon)
-    pts = np.asarray(trainer.params.xyz)[np.asarray(traj_index, int)]
+    pts = trainer.gather_xyz(traj_index)
     uv, _ = trainer.project_points(pts)
     sequence_traj.append(np.asarray(uv))
     seg = trainer.move_seg if trainer.move_seg is not None else np.zeros(

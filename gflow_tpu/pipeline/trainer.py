@@ -621,6 +621,22 @@ class GFlowTrainer:
         return _compiled_world2pix()(jnp.asarray(points), self.intr,
                                      self.params.pose)
 
+    def gather_xyz(self, index) -> np.ndarray:
+        """Current positions of a fixed query subset, gathered ON DEVICE.
+
+        `np.asarray(self.params.xyz)[index]` pulls the full capacity-shaped
+        array (65k x 3 floats) through the device tunnel just to keep ~100
+        rows; on the per-frame traj-eval path that was two ~0.8 MB transfers
+        per frame. The gather runs on device and only the selected rows
+        leave the chip. The index array is uploaded once and cached (the
+        traj query set is fixed for the whole sequence)."""
+        index = np.asarray(index, np.int32)
+        key = index.tobytes()
+        if getattr(self, "_gather_idx_key", None) != key:
+            self._gather_idx_key = key
+            self._gather_idx_dev = jnp.asarray(index)
+        return np.asarray(self.params.xyz[self._gather_idx_dev])
+
     # ------------------------------------------------------------------
     # mask-prompt propagation (reference: trainer.py:290-330)
     # ------------------------------------------------------------------
@@ -779,7 +795,7 @@ class GFlowTrainer:
              split_interval=None, need_center_depth=True):
         traj_index = np.asarray(traj_index, int)
         num_traj = len(traj_index)
-        xyz_now = np.asarray(self.params.xyz)[traj_index]
+        xyz_now = self.gather_xyz(traj_index)
 
         if self._traj is None:
             # exact-count ramps: np.arange(0, 1, 1/n) emits n+1 elements for
