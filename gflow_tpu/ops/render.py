@@ -420,3 +420,16 @@ def render2img(rendered: jax.Array):
     if getattr(rendered, "dtype", None) == jnp.uint8:
         return np.asarray(rendered)
     return np.asarray(_quantize_u8(rendered))
+
+
+def render2img_async(rendered: jax.Array):
+    """render2img that does NOT block: quantizes on device, starts the
+    D2H copy, and returns the device uint8 array. Consumers materialize
+    with np.asarray wherever the image is actually used — by then the
+    copy has streamed behind other work (per-frame diagnostic images are
+    only consumed by the background PNG writer / end-of-run video mux)."""
+    if getattr(rendered, "dtype", None) != jnp.uint8:
+        rendered = _quantize_u8(rendered)
+    if hasattr(rendered, "copy_to_host_async"):
+        rendered.copy_to_host_async()
+    return rendered

@@ -191,7 +191,7 @@ def main(
                 )
             for k_src, k_dst in (("frames", "opt"), ("frames_center", "center_opt"),
                                  ("frames_depth", "depth_opt")):
-                collect[k_dst] += out[k_src]
+                collect[k_dst].append(out[k_src])  # chunk; see _collect_stage
 
         if iterations_after > 0:
             print_color(f"[{i+1}/{n_frames}] Optimize all ......")
@@ -249,6 +249,17 @@ def main(
         ("sequence_traj", "traj", 5), ("sequence_traj_upon", "traj_upon", 5),
     ]
     with telemetry.phase("host/finalize"):
+        # expand the chunked optimize-video lists and normalize any device
+        # slices (snapshot [-1] entries) to numpy — the async snapshot copy
+        # has been streaming since frame 0, so this costs ~nothing now
+        chunked = {"opt", "center_opt", "depth_opt"}
+        for key in chunked:
+            collect[key] = [np.asarray(f) for chunk in collect[key]
+                            for f in chunk]
+        for _, key, _ in names:
+            if key not in chunked:
+                collect[key] = [np.asarray(f) for f in collect[key]]
+
         for name, key, fps in names:
             save_video(os.path.join(trainer.dir, f"{name}.mp4"),
                        collect[key], fps)
@@ -306,9 +317,12 @@ def main(
 
 
 def _collect_stage(collect, out, first: bool):
-    collect["opt"] += out["frames"]
-    collect["center_opt"] += out["frames_center"]
-    collect["depth_opt"] += out["frames_depth"]
+    # frames may be a _LazyFrames whose D2H copy is still streaming —
+    # store the chunk unexpanded (iterating here would block on the
+    # transfer); _flat_chunks expands at finalize, when it's long done
+    collect["opt"].append(out["frames"])
+    collect["center_opt"].append(out["frames_center"])
+    collect["depth_opt"].append(out["frames_depth"])
     if out["frames"]:
         collect["seq"].append(out["frames"][-1])
         collect["center_seq"].append(out["frames_center"][-1])
@@ -383,14 +397,13 @@ def _eval_traj(trainer, traj_index, split_interval, collect, sequence_traj,
                sequence_traj_occlusion):
     if not traj_index:
         return
-    out_img, _, _, out_traj, out_upon = trainer.eval(
+    out_img, _, _, out_traj, out_upon, uv = trainer.eval(
         traj_index=traj_index, line_scale=0.5, point_scale=2.0, alpha=0.8,
         split_interval=split_interval, need_center_depth=False,
+        return_query_uv=True,
     )
     collect["traj"].append(out_traj)
     collect["traj_upon"].append(out_upon)
-    pts = trainer.gather_xyz(traj_index)
-    uv, _ = trainer.project_points(pts)
     sequence_traj.append(np.asarray(uv))
     seg = trainer.move_seg if trainer.move_seg is not None else np.zeros(
         (trainer.H, trainer.W), np.uint8

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from datetime import datetime
 from pathlib import Path
 
@@ -40,7 +41,7 @@ from ..opt import (
 )
 from ..opt.initialize import init_params_from_image
 from ..ops.render import (RenderConfig, DEFAULT_CONFIG, render2img,
-                          render_jit, render_traj_jit)
+                          render2img_async, render_jit)
 from ..ops.projection import project_gaussians
 from ..utils.hull import FastConcaveHull2D
 from ..viz.colormap import apply_float_colormap, print_color
@@ -63,6 +64,48 @@ def _compiled_world2pix():
 
     def go(points, intr, pose):
         return world2pix(points, intr, pose_to_extr(pose))
+
+    return jax.jit(go)
+
+
+@functools.lru_cache(maxsize=1)
+def _compiled_gather_project():
+    """Gather a fixed query subset of xyz AND project it, in ONE dispatch.
+
+    The per-frame traj-eval path previously paid separate round trips for
+    the gather, the projection, and an eager pose_to_extr chain — each
+    eager op / device_get is a full tunnel round trip on this rig."""
+    from ..core.camera import world2pix
+
+    def go(xyz_all, idx, intr, pose):
+        sel = jnp.take(xyz_all, idx, axis=0)
+        uv, _ = world2pix(sel, intr, pose_to_extr(pose))
+        return sel, uv
+
+    return jax.jit(go)
+
+
+@functools.lru_cache(maxsize=4)
+def _compiled_traj_render(bg: float, W: int, H: int, point_num: int,
+                          line_scale: float, point_scale: float,
+                          config: RenderConfig, cap: int):
+    """ONE dispatch for the per-frame trajectory overlay render.
+
+    The padded line-set xyz/opacity/rgb ride along as call arguments
+    (~110 KB total); the constant scale/rotation columns and the uint8
+    quantization are built on device instead of being uploaded / chained
+    as eager ops (render_traj_jit's host caller paid ~6 extra tunnel
+    round trips per frame for them)."""
+    from ..ops.render import render_traj
+
+    def go(xyz_p, op_p, rgb_p, intr, pose, n_actual):
+        scale = jnp.full((cap, 3), 1e-6, jnp.float32)
+        rot = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
+                       (cap, 1))
+        img = render_traj(xyz_p, scale, rot, op_p, rgb_p, intr,
+                          pose_to_extr(pose), bg, W, H, point_num,
+                          line_scale, point_scale, config, n_actual)
+        return (jnp.clip(img, 0.0, 1.0) * 255).astype(jnp.uint8)
 
     return jax.jit(go)
 
@@ -110,6 +153,55 @@ def _compiled_diag(bg: float, W: int, H: int, config: RenderConfig):
         return out
 
     return jax.jit(go)
+
+
+class _LazyFrames:
+    """Sequence view over a stacked snapshot array whose device->host copy
+    was started with copy_to_host_async.
+
+    The frame-0 fit produces ~150 full-res uint8 snapshot maps (~185 MB);
+    pulling them synchronously cost 17 s of tunnel time on the critical
+    path (QUALITY_r05 host/snapshot_transfer). Their only consumers are
+    the training-progress mp4s (encoded on the background writer thread)
+    and the end-of-run sequence_optimize videos, so the transfer can
+    stream behind the rest of the run. len()/bool() and single-element
+    access are cheap (a device slice); iteration materializes the one
+    stacked transfer, thread-safely, wherever it is first consumed.
+    """
+
+    def __init__(self, stack):
+        self._stack = stack
+        self._mat = None
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return int(self._stack.shape[0])
+
+    def __bool__(self):
+        return len(self) > 0
+
+    def _materialize(self):
+        with self._lock:
+            if self._mat is None:
+                self._mat = list(np.asarray(self._stack))
+            return self._mat
+
+    def __getitem__(self, i):
+        if self._mat is not None:
+            return self._mat[i]
+        return self._stack[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+
+def _imwrite_np(path, arr):
+    """Background-writer imwrite: materializes device arrays on the writer
+    thread (their D2H copies were started with copy_to_host_async, so this
+    blocks the writer, not the per-frame loop)."""
+    import imageio.v2 as imageio
+
+    imageio.imwrite(path, np.asarray(arr))
 
 
 def _erode(mask_u8: np.ndarray, size: int = 20) -> np.ndarray:
@@ -463,12 +555,17 @@ class GFlowTrainer:
         }
         if "snapshots" in info:
             # snapshots arrive as device-quantized uint8 (incl. the turbo
-            # depth colormap) — one stacked transfer, no host-side conversion
+            # depth colormap); kick off the D2H copy now and let it stream
+            # behind subsequent compute — consumers (video mux on the
+            # background writer thread, end-of-run finalize) materialize
+            # the finished transfer via _LazyFrames
+            snaps = info["snapshots"]
             with phase("host/snapshot_transfer"):
-                snaps = jax.device_get(info["snapshots"])
-            out["frames"] = list(snaps["rgb"])
-            out["frames_center"] = list(snaps["center"])
-            out["frames_depth"] = list(snaps["depth_map"])
+                for leaf in jax.tree_util.tree_leaves(snaps):
+                    leaf.copy_to_host_async()
+            out["frames"] = _LazyFrames(snaps["rgb"])
+            out["frames_center"] = _LazyFrames(snaps["center"])
+            out["frames_depth"] = _LazyFrames(snaps["depth_map"])
 
         # ---- post-update host work: move segmentation via concave hull
         # (trainer.py:604-609) ----
@@ -501,21 +598,28 @@ class GFlowTrainer:
                         self.propagate_seg = (hull.mask(self.W, self.H) * 255).astype(np.uint8)
 
         # ---- diagnostic renders + still/move decomposition (trainer.py:627-697)
-        out["last_rgb"] = render2img(info["rgb"])
+        out["last_rgb"] = render2img_async(info["rgb"])
         # ONE fused device dispatch renders the full views AND the still/move
         # subsets; uint8 leaves the chip (see _compiled_diag)
         subsets = None
         views = None
-        if (save_imgs and self.dir) or int(self.state.last_num) > 0:
+        last_num = int(self.state.last_num)
+        if (save_imgs and self.dir) or last_num > 0:
             with phase("host/diag_renders"):
                 d = _compiled_diag(self.bg, self.W, self.H,
                                    self.render_config)(
                     self.params, self.state, self.intr)
-                # one pipelined transfer burst (per-view np.asarray pays a
-                # tunnel round-trip each)
-                views = jax.device_get(d)
+                # ~8.6 MB of uint8 maps over an ~11 MB/s tunnel: start the
+                # copies (rgb first — eval()'s traj overlay consumes it
+                # within this frame) and let them stream behind the rest of
+                # the frame; consumers (background PNG writer, traj eval,
+                # finalize) materialize the finished transfers
+                d["rgb"].copy_to_host_async()
+                for leaf in jax.tree_util.tree_leaves(d):
+                    leaf.copy_to_host_async()
+                views = d
                 self._last_views = views  # eval() reuses this render
-            if int(self.state.last_num) > 0:
+            if last_num > 0:
                 subsets = ((views["still_rgb"], views["still_center"]),
                            (views["move_rgb"], views["move_center"]))
         if save_imgs and self.dir:
@@ -572,28 +676,27 @@ class GFlowTrainer:
 
     def _save_stage_images(self, views, ckpt_name, subsets=None):
         """Queue the stage's diagnostic PNGs on the background writer —
-        pixels come pre-rendered (one _compiled_diag dispatch, uint8 host
-        arrays), so this costs one enqueue per file."""
-        import imageio.v2 as imageio
-
+        pixels come pre-rendered (one _compiled_diag dispatch) with their
+        D2H copies already streaming, so this costs one enqueue per file;
+        the writer thread materializes each finished transfer."""
         from ..utils.bgwriter import get_writer
 
         w = get_writer()
         img_dir = os.path.join(self.dir, "images")
         os.makedirs(img_dir, exist_ok=True)
-        w.submit(imageio.imwrite,
+        w.submit(_imwrite_np,
                  os.path.join(img_dir, f"img_{ckpt_name}.png"), views["rgb"])
-        w.submit(imageio.imwrite,
+        w.submit(_imwrite_np,
                  os.path.join(img_dir, f"img_center_{ckpt_name}.png"),
                  views["center"])
-        w.submit(imageio.imwrite,
+        w.submit(_imwrite_np,
                  os.path.join(img_dir, f"img_depth_{ckpt_name}.png"),
                  views["depth_map_color"])
         if subsets is not None:
             (srgb, scen), (mrgb, mcen) = subsets
             for nm, arr in (("still", srgb), ("still_center", scen),
                             ("move", mrgb), ("move_center", mcen)):
-                w.submit(imageio.imwrite,
+                w.submit(_imwrite_np,
                          os.path.join(img_dir, f"img_{nm}_{ckpt_name}.png"),
                          arr)
         seg_dir = os.path.join(self.dir, "images_seg")
@@ -602,7 +705,7 @@ class GFlowTrainer:
                         ("propagate_mask", self.propagate_seg)):
             if arr is not None:
                 os.makedirs(seg_dir, exist_ok=True)
-                w.submit(imageio.imwrite,
+                w.submit(_imwrite_np,
                          os.path.join(seg_dir, f"{nm}_{ckpt_name}.png"),
                          arr.copy())
 
@@ -636,6 +739,20 @@ class GFlowTrainer:
             self._gather_idx_key = key
             self._gather_idx_dev = jnp.asarray(index)
         return np.asarray(self.params.xyz[self._gather_idx_dev])
+
+    def gather_project(self, index):
+        """(xyz, uv) of a fixed query subset — one fused dispatch, one
+        transfer (see _compiled_gather_project). Index upload cached as in
+        gather_xyz."""
+        index = np.asarray(index, np.int32)
+        key = index.tobytes()
+        if getattr(self, "_gather_idx_key", None) != key:
+            self._gather_idx_key = key
+            self._gather_idx_dev = jnp.asarray(index)
+        sel, uv = jax.device_get(_compiled_gather_project()(
+            self.params.xyz, self._gather_idx_dev, self.intr,
+            self.params.pose))
+        return sel, uv
 
     # ------------------------------------------------------------------
     # mask-prompt propagation (reference: trainer.py:290-330)
@@ -792,10 +909,14 @@ class GFlowTrainer:
     # ------------------------------------------------------------------
 
     def eval(self, traj_index, line_scale=0.1, point_scale=0.3, alpha=0.5,
-             split_interval=None, need_center_depth=True):
+             split_interval=None, need_center_depth=True,
+             return_query_uv=False):
         traj_index = np.asarray(traj_index, int)
         num_traj = len(traj_index)
-        xyz_now = self.gather_xyz(traj_index)
+        # one fused gather+project dispatch; uv is also what fit_video's
+        # traj bookkeeping records, so return it on request instead of
+        # paying a second gather+projection round trip after eval
+        xyz_now, uv_now = self.gather_project(traj_index)
 
         if self._traj is None:
             # exact-count ramps: np.arange(0, 1, 1/n) emits n+1 elements for
@@ -884,21 +1005,18 @@ class GFlowTrainer:
         op_p[:nt] = t["opacity"]
         rgb_p = np.zeros((cap, 3), np.float32)
         rgb_p[:nt] = t["rgb"]
-        traj_img = render_traj_jit(
-            jnp.asarray(xyz_p),
-            jnp.full((cap, 3), 1e-6),
-            jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (cap, 1)),
-            jnp.asarray(op_p),
-            jnp.asarray(rgb_p),
-            self.intr, self.get_extr(), self.bg, self.W, self.H,
-            point_num=num_traj, line_scale=line_scale, point_scale=point_scale,
-            config=self._traj_cfg, n_actual=nt, as_uint8=True,
-        )
-        out_traj = render2img(traj_img)
+        traj_img = _compiled_traj_render(
+            float(self.bg), self.W, self.H, num_traj, float(line_scale),
+            float(point_scale), self._traj_cfg, cap,
+        )(xyz_p, op_p, rgb_p, self.intr, self.params.pose,
+          jnp.asarray(nt, jnp.int32))
+        out_traj = np.asarray(traj_img)
         # screen blending (trainer.py:798-806)
         a1 = out_img.astype(np.float32) / 255
         a2 = out_traj.astype(np.float32) / 255
         upon = ((1 - (1 - a1) * (1 - a2)) * 255).astype(np.uint8)
+        if return_query_uv:
+            return out_img, out_center, out_depth, out_traj, upon, uv_now
         return out_img, out_center, out_depth, out_traj, upon
 
 

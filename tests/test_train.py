@@ -172,13 +172,13 @@ def test_eval_traj_reuses_padded_shapes(tmp_path, monkeypatch):
     from gflow_tpu.pipeline import trainer as trmod
 
     shapes = []
-    orig = trmod.render_traj_jit
+    orig = trmod._compiled_traj_render
 
-    def spy(xyz, *a, **k):
-        shapes.append(xyz.shape[0])
-        return orig(xyz, *a, **k)
+    def spy(bg, W, H, point_num, line_scale, point_scale, config, cap):
+        shapes.append(cap)
+        return orig(bg, W, H, point_num, line_scale, point_scale, config, cap)
 
-    monkeypatch.setattr(trmod, "render_traj_jit", spy)
+    monkeypatch.setattr(trmod, "_compiled_traj_render", spy)
 
     img, depth = synthetic_frame()
     t = trmod.GFlowTrainer(gt_image=img, gt_depth=depth, num_points=200,
