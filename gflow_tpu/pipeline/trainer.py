@@ -284,6 +284,12 @@ class GFlowTrainer:
                                # trainer.py:265-266 saves it if present)
         self.telemetry = None  # optional utils.profiling.Telemetry — when
                                # set, train() attributes device vs host time
+        self._dev_targets = {}  # name -> (host array ref, device copy):
+                                # per-frame target uploads are cached so the
+                                # camera + full stages of one frame share ONE
+                                # ~10MB tunnel transfer, started eagerly at
+                                # set_gt_* time (overlaps the previous
+                                # frame's host phases)
         self.last_t_final = None  # residual-transmittance stats on
                                   # K-overflowing tiles (every full stage)
         # truncation guardrail (see train()): escalate max_per_tile when the
@@ -345,14 +351,29 @@ class GFlowTrainer:
     # init / gt setters
     # ------------------------------------------------------------------
 
+    def _dev_target(self, name: str, src, transform):
+        """Device copy of a per-frame target, cached on the HOST array's
+        identity (the host ref is held so `is` stays sound). jax.device_put
+        is async — calling this from set_gt_* starts the tunnel transfer
+        while the host is still doing the previous frame's work."""
+        cached = self._dev_targets.get(name)
+        if cached is not None and cached[0] is src:
+            return cached[1]
+        dev = jax.device_put(transform(src))
+        self._dev_targets[name] = (src, dev)
+        return dev
+
     def set_gt_image(self, img):
         self.gt_image = np.asarray(img, np.float32)
+        self._dev_target("image", self.gt_image, lambda x: x)
 
     def set_gt_depth(self, d):
         self.gt_depth = np.asarray(d, np.float32).reshape(self.H, self.W)
+        self._dev_target("depth", self.gt_depth, lambda x: x[..., None])
 
     def set_gt_flow(self, f):
         self.gt_flow = np.asarray(f, np.float32)
+        self._dev_target("flow", self.gt_flow, lambda x: x[..., :2])
 
     def init_gaussians_from_image(self, gt_image=None, gt_depth=None,
                                   num_points=None, mask=None, drop_to=None):
@@ -396,14 +417,26 @@ class GFlowTrainer:
 
     def _targets(self, move_mask=None, occ_mask=None) -> Targets:
         H, W = self.H, self.W
-        flow = self.gt_flow if self.gt_flow is not None else np.zeros((H, W, 2), np.float32)
-        depth = self.gt_depth if self.gt_depth is not None else np.ones((H, W), np.float32)
+        # big per-frame maps ride the identity-keyed device cache — one
+        # upload per frame, shared by the camera and full stages (the None
+        # fallbacks key on the sentinel string so zeros upload once ever)
+        if self.gt_flow is not None:
+            flow = self._dev_target("flow", self.gt_flow, lambda x: x[..., :2])
+        else:
+            flow = self._dev_target(
+                "flow", "zeros", lambda _: np.zeros((H, W, 2), np.float32))
+        if self.gt_depth is not None:
+            depth = self._dev_target("depth", self.gt_depth,
+                                     lambda x: x[..., None])
+        else:
+            depth = self._dev_target(
+                "depth", "ones", lambda _: np.ones((H, W, 1), np.float32))
         mm = np.zeros((H, W), bool) if move_mask is None else np.asarray(move_mask) > 0
         om = np.zeros((H, W), bool) if occ_mask is None else np.asarray(occ_mask) > 0
         return Targets(
-            image=jnp.asarray(self.gt_image),
-            depth=jnp.asarray(depth)[..., None],
-            flow=jnp.asarray(flow[..., :2]),
+            image=self._dev_target("image", self.gt_image, lambda x: x),
+            depth=depth,
+            flow=flow,
             move_mask=jnp.asarray(mm),
             occ_mask=jnp.asarray(om),
         )

@@ -16,6 +16,14 @@ import time
 from collections import defaultdict
 
 
+def _median(xs):
+    if not xs:
+        return 0.0
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
 class Telemetry:
     def __init__(self):
         self.phase_seconds = defaultdict(float)
@@ -24,6 +32,7 @@ class Telemetry:
         self.phase_max = {}     # the first call carries the compile cost,
                                 # so (first, max, rest-mean) separates
                                 # compile from steady state
+        self.phase_durations = defaultdict(list)  # per-call, for the median
         self.frames = 0
         self.opt_steps = 0
         self.gauges = {}
@@ -40,6 +49,7 @@ class Telemetry:
             self.phase_calls[name] += 1
             self.phase_first.setdefault(name, dt)
             self.phase_max[name] = max(self.phase_max.get(name, 0.0), dt)
+            self.phase_durations[name].append(dt)
 
     def count_frame(self, opt_steps: int):
         self.frames += 1
@@ -66,9 +76,18 @@ class Telemetry:
                     # max_sec exposes mid-run recompiles (e.g. a K
                     # escalation) that would otherwise hide in the average
                     "max_sec": round(self.phase_max[k], 3),
+                    # mean over everything after the first call — mid-run
+                    # recompiles (K escalation, capacity growth, a new cfg
+                    # variant's first build) land IN this mean. The median
+                    # is the honest steady rate; (steady - median) * calls
+                    # bounds the total mid-run compile spend. QUALITY_r05's
+                    # device/stage showed 7.67 steady vs a ~3.1 true rate
+                    # for exactly this reason (STAGE_COST_r05.json).
                     "steady_sec_per_call": round(
                         (v - self.phase_first[k])
                         / max(self.phase_calls[k] - 1, 1), 3),
+                    "median_sec_per_call": round(
+                        _median(self.phase_durations[k]), 3),
                 }
                 for k, v in sorted(self.phase_seconds.items())
             },
