@@ -288,6 +288,39 @@ def test_checkpoint_pose_list_roundtrip(tmp_path):
     assert t3.pose_list is None
 
 
+def test_target_device_cache_identity():
+    """_targets() reuses ONE device upload per frame (shared by the camera
+    and full stages) and invalidates when set_gt_* installs a new host
+    array — stale-frame targets reaching a stage would silently fit the
+    wrong image."""
+    from gflow_tpu.pipeline import trainer as trmod
+
+    img, depth = synthetic_frame()
+    t = trmod.GFlowTrainer(gt_image=img, gt_depth=depth, num_points=100,
+                           make_logs=False)
+    t.init_gaussians_from_image()
+    tg1 = t._targets()
+    tg2 = t._targets()
+    # same frame -> the SAME device buffer (no second upload)
+    assert tg1.image is tg2.image
+    assert tg1.depth is tg2.depth
+    assert tg1.flow is tg2.flow
+
+    new_img = np.clip(img + 0.1, 0, 1).astype(np.float32)
+    t.set_gt_image(new_img)
+    t.set_gt_depth(depth * 2.0)
+    t.set_gt_flow(np.ones((*img.shape[:2], 2), np.float32))
+    tg3 = t._targets()
+    assert tg3.image is not tg1.image
+    np.testing.assert_allclose(np.asarray(tg3.image), new_img, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tg3.depth)[..., 0], depth * 2.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tg3.flow), 1.0)
+    # and the refreshed copies are themselves cached
+    tg4 = t._targets()
+    assert tg4.image is tg3.image and tg4.flow is tg3.flow
+
+
 def test_eval_traj_float_hazard_counts():
     """num_traj values where np.arange(0, 1, 1/n) emits n+1 elements (e.g.
     49, 98, 103) must not desync the color ramp from the anchor points —
