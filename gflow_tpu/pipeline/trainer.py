@@ -284,6 +284,7 @@ class GFlowTrainer:
                                # trainer.py:265-266 saves it if present)
         self.telemetry = None  # optional utils.profiling.Telemetry — when
                                # set, train() attributes device vs host time
+        self._last_num_host = 0  # host mirror of state.last_num (see train)
         self._dev_targets = {}  # name -> (host array ref, device copy):
                                 # per-frame target uploads are cached so the
                                 # camera + full stages of one frame share ONE
@@ -472,7 +473,10 @@ class GFlowTrainer:
         """One optimization stage (reference: trainer.py:332-711). Returns a
         dict: frames/frames_center/frames_depth (training snapshots, empty
         unless save_videos), still/move renders, move_seg."""
-        has_last = int(self.state.last_num) > 0
+        # host mirror of state.last_num — updated from every stage's batched
+        # pull and at checkpoint load; saves a blocking scalar round trip
+        # per train() call over the tunnel
+        has_last = self._last_num_host > 0
         cfg = StageConfig(
             W=self.W,
             H=self.H,
@@ -518,15 +522,33 @@ class GFlowTrainer:
             self.params, self.state, info = fn(
                 self.params, self.state, targets, self.intr, sub, dyn=dyn
             )
-            # the stage call is async — block here so device time is
-            # attributed to the device phase, not to the first host consumer
-            jax.block_until_ready(info["uv"])
+            # ONE batched device_get for every host consumer of this stage's
+            # results: telemetry scalars, the loss-metric dict, and the
+            # hull-segmentation inputs. Sequential float()/int() pulls pay a
+            # tunnel round trip EACH (~0.1-0.2 s here) — the scalar pulls
+            # alone were ~1 s/stage of the QUALITY_r05 overhead above pure
+            # iteration time (STAGE_COST_r05.json finding 3). The get also
+            # blocks until the stage finishes, attributing device time to
+            # this phase.
+            pull = {
+                "tile_overflow": info.get("tile_overflow", 0.0),
+                "metrics": info["metrics"],
+                "last_num": self.state.last_num,
+            }
+            if "t_final_overflow_mean" in info:
+                pull["t_final_mean"] = info["t_final_overflow_mean"]
+                pull["t_final_max"] = info["t_final_overflow_max"]
+            if not camera_only:
+                pull["uv"] = info["uv"]
+                pull["n_alive"] = info["n_alive"]
+                pull["still_mask"] = self.state.still_mask
+            pulled = jax.device_get(pull)
         self._last_info = info
-        self.last_tile_overflow = float(info.get("tile_overflow", 0.0))
-        if "t_final_overflow_mean" in info:
+        self.last_tile_overflow = float(pulled["tile_overflow"])
+        if "t_final_mean" in pulled:
             self.last_t_final = {
-                "mean": float(info["t_final_overflow_mean"]),
-                "max": float(info["t_final_overflow_max"]),
+                "mean": float(pulled["t_final_mean"]),
+                "max": float(pulled["t_final_max"]),
             }
             # K-escalation guardrail: the depth-sorted nearest-K truncation
             # is only safe while the residual transmittance on overflowing
@@ -584,7 +606,7 @@ class GFlowTrainer:
             "still_center": None,
             "move_rgb": None,
             "move_center": None,
-            "metrics": {k: float(v) for k, v in info["metrics"].items()},
+            "metrics": {k: float(v) for k, v in pulled["metrics"].items()},
         }
         if "snapshots" in info:
             # snapshots arrive as device-quantized uint8 (incl. the turbo
@@ -604,11 +626,9 @@ class GFlowTrainer:
         # (trainer.py:604-609) ----
         if not camera_only:
             with phase("host/hull_seg"):
-                # one pipelined transfer burst (three sequential pulls pay
-                # a tunnel round-trip each)
-                pulled = jax.device_get(
-                    (info["uv"], info["n_alive"], self.state.still_mask))
-                uv, n, still = pulled[0], int(pulled[1]), pulled[2]
+                # inputs rode the stage's single batched device_get
+                uv, n, still = (pulled["uv"], int(pulled["n_alive"]),
+                                pulled["still_mask"])
                 within = (
                     (uv[:, 0] > 0) & (uv[:, 0] < self.W - 1)
                     & (uv[:, 1] > 0) & (uv[:, 1] < self.H - 1)
@@ -636,7 +656,7 @@ class GFlowTrainer:
         # subsets; uint8 leaves the chip (see _compiled_diag)
         subsets = None
         views = None
-        last_num = int(self.state.last_num)
+        last_num = self._last_num_host = int(pulled["last_num"])
         if (save_imgs and self.dir) or last_num > 0:
             with phase("host/diag_renders"):
                 d = _compiled_diag(self.bg, self.W, self.H,
@@ -931,6 +951,7 @@ class GFlowTrainer:
             still_mask=jnp.asarray(still),
             last_uv=jnp.asarray(lu),
         )
+        self._last_num_host = n
         if d["move_seg"].size:
             self.move_seg = d["move_seg"]
         if "pose_list" in d:
